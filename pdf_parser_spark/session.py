@@ -1,0 +1,41 @@
+"""SparkSession builder tuned for binary-heavy extraction workloads."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "pdf_parser_spark",
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+) -> SparkSession:
+    """Create (or reuse) a session with Arrow enabled and batches capped.
+
+    Rows carry multi-MB binary payloads, so Arrow batches are capped at a
+    small record count to bound Python-worker memory (a 2 MB mega-doc times
+    the default 10k-records batch would be 20 GB); at cluster scale the same
+    settings hold per executor.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
