@@ -1,38 +1,555 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship classic-extraction query at sf0.001
+queries()      -> one callable per implemented operator (SURVEY.md §2 IDs
+                  plus the web-scale dedup/similarity/text-analysis ops)
+oracle_sql()   -> DuckDB-equivalent SQL per query (omitted only for
+                  genuinely non-SQL ops: PDF/HTML kernels get their oracle
+                  through the frozen goldens parquet instead, which makes
+                  even the full extraction pipeline value-checkable)
+
+Tables available as DuckDB views: region nation customer supplier part
+orders lineitem events documents embeddings. Corpus-shaped inputs
+(url, warc_ts, html, text, lang per BASELINE.json input_hint) are
+synthesized deterministically by pdf_parser_spark.corpus into
+/root/repo/.corpus/sf*/ — the oracle reads the same parquet via read_parquet.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pdf_parser_spark.corpus import ensure_corpus  # noqa: E402
+from pdf_parser_spark.operators import dedup as D  # noqa: E402
+from pdf_parser_spark.operators import multimodal as M  # noqa: E402
+from pdf_parser_spark.operators import similarity as S  # noqa: E402
+from pdf_parser_spark.operators import textstats as T  # noqa: E402
+from pdf_parser_spark.pipeline import extract_pipeline, load_pages  # noqa: E402
+
+CORPUS_001 = "/root/repo/.corpus/sf0.001"
+CORPUS_01 = "/root/repo/.corpus/sf0.01"  # oracle scale: driver compares at sf0.01
+
+MAX_SIZE = 50 * 1024 * 1024
+MIN_SIZE = 100
+
+# regex patterns shared verbatim between Spark (JVM regex) and DuckDB (RE2).
+# These avoid re.I and À-ž quirks because fixture content is exact-case;
+# byte-exact re.I semantics live in the Python kernel (tested via goldens).
+PAT_NAME = r"Customer Name[:\s]*([A-Za-zÀ-ž ,.'-]+)"
+PAT_POLICY = r"Policy Number[:\s]*([\w-]+)"
+PAT_AMOUNT = r"Claim Amount[:\s]*\$?([\d,]+\.\d{2})"
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_pages(spark, ensure_corpus(sf_dir))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _corpus_glob(_sf_dir: str = "") -> str:
+    # oracle SQL is a static string; driver compares at sf0.01
+    return f"read_parquet('{CORPUS_01}/pages.parquet/*.parquet')"
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full classic-mode extraction over the sf0.001 corpus."""
+    pages = load_pages(spark, ensure_corpus(0.001))
+    return extract_pipeline(pages).select(
+        "url", "file_hash", "method", "text", "fields_json", "status", "error"
+    )
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- extraction pipeline (kernel) — oracled via frozen goldens --------
+    def extract_classic_pipeline(spark, sf_dir):
+        out = extract_pipeline(_pages(spark, sf_dir))
+        return (
+            out.where(F.col("status") == "ok")
+            .select("url", "text", "fields_json")
+        )
+    q["extract_classic_pipeline"] = extract_classic_pipeline
 
+    def extract_error_accounting(spark, sf_dir):  # A1/A2: per-status tallies
+        out = extract_pipeline(_pages(spark, sf_dir))
+        return (
+            out.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("status")
+        )
+    q["extract_error_accounting"] = extract_error_accounting
+
+    # ---- F1/F2: size-band filters ------------------------------------------
+    def f1_f2_size_filter(spark, sf_dir):
+        p = _pages(spark, sf_dir)
+        n = F.coalesce(F.length("html"), F.lit(0))
+        return p.select(
+            "url",
+            n.alias("n_bytes"),
+            ((n <= MAX_SIZE) & (n >= MIN_SIZE)).alias("size_ok"),
+        ).orderBy("url")
+    q["f1_f2_size_filter"] = f1_f2_size_filter
+
+    # ---- F3: magic-number router -------------------------------------------
+    def f3_magic_router(spark, sf_dir):
+        p = _pages(spark, sf_dir)
+        return p.select(
+            "url",
+            (F.upper(F.hex(F.substring("html", 1, 4))) == "25504446").alias("is_pdf"),
+        ).orderBy("url")
+    q["f3_magic_router"] = f3_magic_router
+
+    # ---- F4: extension predicate -------------------------------------------
+    def f4_extension_predicate(spark, sf_dir):
+        p = _pages(spark, sf_dir)
+        return p.select(
+            "url", F.lower(F.col("url")).endswith(".pdf").alias("ext_ok")
+        ).orderBy("url")
+    q["f4_extension_predicate"] = f4_extension_predicate
+
+    # ---- F5: empty-text guard ----------------------------------------------
+    def f5_empty_text_guard(spark, sf_dir):
+        p = _pages(spark, sf_dir)
+        return (
+            p.where(F.col("url").contains("/feed/"))
+            .select("url", (F.trim(F.col("text")) != "").alias("has_text"))
+            .orderBy("url")
+        )
+    q["f5_empty_text_guard"] = f5_empty_text_guard
+
+    # ---- P3: content hash (text rows; sha2 on UTF-8 text) -------------------
+    def p3_content_hash(spark, sf_dir):
+        p = _pages(spark, sf_dir)
+        return (
+            p.where((F.col("url").contains("/feed/")) & (F.trim("text") != ""))
+            .select("url", F.substring(F.sha2(F.col("text"), 256), 1, 6).alias("file_hash"))
+            .orderBy("url")
+        )
+    q["p3_content_hash"] = p3_content_hash
+
+    # ---- P4/P6: regex field extraction + dict assembly (JVM/SQL variant) ----
+    def p4_regex_fields(spark, sf_dir):
+        p = _pages(spark, sf_dir)
+        t = F.col("text")
+        return (
+            p.where(F.trim(t) != "")
+            .select(
+                "url",
+                F.nullif(F.trim(F.regexp_extract(t, PAT_NAME, 1)), F.lit("")).alias("customer_name"),
+                F.nullif(F.trim(F.regexp_extract(t, PAT_POLICY, 1)), F.lit("")).alias("policy_number"),
+                F.nullif(F.trim(F.regexp_extract(t, PAT_AMOUNT, 1)), F.lit("")).alias("claim_amount"),
+            )
+            .orderBy("url")
+        )
+    q["p4_regex_fields"] = p4_regex_fields
+
+    # ---- P5: multi-pattern first-match fallback ------------------------------
+    def p5_multi_pattern_fallback(spark, sf_dir):
+        p = _pages(spark, sf_dir)
+        t = F.col("text")
+        first = F.nullif(F.regexp_extract(t, r"Policyholder[:\s]*([\w-]+)", 1), F.lit(""))
+        second = F.nullif(F.regexp_extract(t, PAT_POLICY, 1), F.lit(""))
+        return (
+            p.where(F.trim(t) != "")
+            .select("url", F.coalesce(first, second).alias("policy"))
+            .orderBy("url")
+        )
+    q["p5_multi_pattern_fallback"] = p5_multi_pattern_fallback
+
+    # ---- P9/P10: prompt assembly + truncation --------------------------------
+    def p9_prompt_truncation(spark, sf_dir):
+        p = _pages(spark, sf_dir)
+        prompt = F.concat(
+            F.lit("Extract: customer_name, policy_number\n\n"),
+            F.substring(F.col("text"), 1, 20000),
+        )
+        return (
+            p.where(F.trim("text") != "")
+            .select("url", prompt.alias("prompt"), F.length(prompt).alias("prompt_len"))
+            .orderBy("url")
+        )
+    q["p9_prompt_truncation"] = p9_prompt_truncation
+
+    def p10_discovery_truncation(spark, sf_dir):
+        p = _pages(spark, sf_dir)
+        return (
+            p.where(F.trim("text") != "")
+            .select("url", F.substring("text", 1, 3000).alias("head"))
+            .orderBy("url")
+        )
+    q["p10_discovery_truncation"] = p10_discovery_truncation
+
+    # ---- P11: JSON sniff from free text (events.props) -----------------------
+    def p11_json_sniff(spark, sf_dir):
+        e = _events(spark, sf_dir)
+        blob = F.regexp_extract(F.col("props"), r"(\{.*\})", 1)
+        return e.select(
+            "event_id",
+            blob.alias("json_blob"),
+            F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int").alias("k"),
+        ).orderBy("event_id")
+    q["p11_json_sniff"] = p11_json_sniff
+
+    # ---- P12: display-name broadcast join ------------------------------------
+    def p12_display_name_join(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        cfg = spark.createDataFrame(
+            [("en", "English"), ("es", "Spanish"), ("de", "German")],
+            "lang string, display string",
+        )
+        return (
+            d.join(F.broadcast(cfg), "lang", "left")
+            .select(
+                "doc_id",
+                F.coalesce("display", "lang").alias("lang_display"),
+            )
+            .orderBy("doc_id")
+        )
+    q["p12_display_name_join"] = p12_display_name_join
+
+    # ---- W1: top-k with deterministic order ----------------------------------
+    def w1_topk_limit(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return (
+            d.select("doc_id", "n_chars")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            .limit(15)
+        )
+    q["w1_topk_limit"] = w1_topk_limit
+
+    # ---- W2: tokenize + trim + length-band filter ----------------------------
+    def w2_label_band_filter(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        toks = F.split(F.col("text"), " ")
+        kept = F.filter(
+            F.transform(toks, lambda x: F.trim(x)),
+            lambda x: (F.length(x) > 2) & (F.length(x) < 40),
+        )
+        return d.select(
+            "doc_id",
+            F.array_join(F.slice(kept, 1, 15), ",").alias("labels"),
+        ).orderBy("doc_id")
+    q["w2_label_band_filter"] = w2_label_band_filter
+
+    # ---- dedup ---------------------------------------------------------------
+    def dedup_exact(spark, sf_dir):
+        return D.exact_dedup(_docs(spark, sf_dir)).orderBy("fingerprint")
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_minhash_signatures(spark, sf_dir):
+        return D.minhash_signatures(_docs(spark, sf_dir), num_hashes=8).orderBy("doc_id")
+    q["dedup_minhash_signatures"] = dedup_minhash_signatures
+
+    def dedup_minhash_lsh_pairs(spark, sf_dir):
+        return D.minhash_lsh_pairs(
+            _docs(spark, sf_dir), num_hashes=16, bands=8
+        ).orderBy("id_a", "id_b")
+    q["dedup_minhash_lsh_pairs"] = dedup_minhash_lsh_pairs
+
+    def dedup_ngram_jaccard(spark, sf_dir):
+        return (
+            D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.0)
+            .orderBy(F.desc("jaccard"), "id_a", "id_b")
+            .limit(20)
+        )
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def dedup_simhash(spark, sf_dir):  # Pandas-UDF op: rows-only oracle
+        return D.simhash64(_docs(spark, sf_dir)).orderBy("doc_id")
+    q["dedup_simhash"] = dedup_simhash
+
+    # ---- similarity -----------------------------------------------------------
+    def ann_bruteforce_topk(spark, sf_dir):
+        return S.brute_force_topk(_emb(spark, sf_dir), query_id=0, k=10)
+    q["ann_bruteforce_topk"] = ann_bruteforce_topk
+
+    def ann_embedding_near_dup(spark, sf_dir):
+        return S.embedding_near_dup_pairs(
+            _emb(spark, sf_dir), threshold=0.2, max_id=200
+        ).orderBy("id_a", "id_b")
+    q["ann_embedding_near_dup"] = ann_embedding_near_dup
+
+    def ann_lsh_bucketed_topk(spark, sf_dir):  # seeded-numpy op: rows-only
+        return S.lsh_bucketed_topk(_emb(spark, sf_dir), query_id=0, k=10, n_planes=4)
+    q["ann_lsh_bucketed_topk"] = ann_lsh_bucketed_topk
+
+    # ---- text analysis --------------------------------------------------------
+    def text_token_count(spark, sf_dir):
+        return T.token_count(_docs(spark, sf_dir)).orderBy("doc_id")
+    q["text_token_count"] = text_token_count
+
+    def text_quality_score(spark, sf_dir):
+        return T.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+    q["text_quality_score"] = text_quality_score
+
+    def text_lang_id(spark, sf_dir):
+        return T.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+    q["text_lang_id"] = text_lang_id
+
+    def text_fingerprint(spark, sf_dir):
+        return T.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+    q["text_fingerprint"] = text_fingerprint
+
+    # ---- multimodal -----------------------------------------------------------
+    def media_metadata(spark, sf_dir):
+        return M.media_metadata(_pages(spark, sf_dir)).orderBy("url")
+    q["media_metadata"] = media_metadata
+
+    def media_features(spark, sf_dir):  # stubbed decode: rows-only oracle
+        return M.media_features(_pages(spark, sf_dir)).orderBy("url")
+    q["media_features"] = media_features
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    pages = _corpus_glob()
+    goldens = f"read_parquet('{CORPUS_01}/goldens.parquet')"
+    o: dict[str, str] = {}
+
+    # the full kernel pipeline is oracled against the frozen goldens
+    o["extract_classic_pipeline"] = f"""
+        SELECT url, golden_text AS text, golden_fields_json AS fields_json
+        FROM {goldens} WHERE golden_text IS NOT NULL
     """
-    return {}
+    o["extract_error_accounting"] = f"""
+        SELECT CASE WHEN golden_text IS NULL THEN 'error' ELSE 'ok' END AS status,
+               count(*) AS n
+        FROM {goldens} GROUP BY 1 ORDER BY status
+    """
+
+    o["f1_f2_size_filter"] = f"""
+        SELECT url, COALESCE(octet_length(html), 0) AS n_bytes,
+               COALESCE(octet_length(html), 0) BETWEEN {MIN_SIZE} AND {MAX_SIZE} AS size_ok
+        FROM {pages} ORDER BY url
+    """
+    o["f3_magic_router"] = f"""
+        SELECT url, upper(left(hex(html), 8)) = '25504446' AS is_pdf
+        FROM {pages} ORDER BY url
+    """
+    o["f4_extension_predicate"] = f"""
+        SELECT url, lower(url) LIKE '%.pdf' AS ext_ok FROM {pages} ORDER BY url
+    """
+    o["f5_empty_text_guard"] = f"""
+        SELECT url, trim(text) <> '' AS has_text
+        FROM {pages} WHERE url LIKE '%/feed/%' ORDER BY url
+    """
+    o["p3_content_hash"] = f"""
+        SELECT url, substring(sha256(text), 1, 6) AS file_hash
+        FROM {pages} WHERE url LIKE '%/feed/%' AND trim(text) <> '' ORDER BY url
+    """
+    o["p4_regex_fields"] = f"""
+        SELECT url,
+          nullif(trim(regexp_extract(text, 'Customer Name[:\\s]*([A-Za-zÀ-ž ,.''-]+)', 1)), '') AS customer_name,
+          nullif(trim(regexp_extract(text, 'Policy Number[:\\s]*([\\w-]+)', 1)), '') AS policy_number,
+          nullif(trim(regexp_extract(text, 'Claim Amount[:\\s]*\\$?([\\d,]+\\.\\d{{2}})', 1)), '') AS claim_amount
+        FROM {pages} WHERE trim(text) <> '' ORDER BY url
+    """
+    o["p5_multi_pattern_fallback"] = f"""
+        SELECT url, COALESCE(
+            nullif(regexp_extract(text, 'Policyholder[:\\s]*([\\w-]+)', 1), ''),
+            nullif(regexp_extract(text, 'Policy Number[:\\s]*([\\w-]+)', 1), '')
+        ) AS policy
+        FROM {pages} WHERE trim(text) <> '' ORDER BY url
+    """
+    o["p9_prompt_truncation"] = f"""
+        SELECT url,
+          'Extract: customer_name, policy_number' || chr(10) || chr(10) || substring(text, 1, 20000) AS prompt,
+          length('Extract: customer_name, policy_number' || chr(10) || chr(10) || substring(text, 1, 20000)) AS prompt_len
+        FROM {pages} WHERE trim(text) <> '' ORDER BY url
+    """
+    o["p10_discovery_truncation"] = f"""
+        SELECT url, substring(text, 1, 3000) AS head
+        FROM {pages} WHERE trim(text) <> '' ORDER BY url
+    """
+    o["p11_json_sniff"] = """
+        SELECT event_id, regexp_extract(props, '(\\{.*\\})', 1) AS json_blob,
+               CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS k
+        FROM events ORDER BY event_id
+    """
+    o["p12_display_name_join"] = """
+        SELECT d.doc_id, COALESCE(c.display, d.lang) AS lang_display
+        FROM documents d
+        LEFT JOIN (VALUES ('en','English'),('es','Spanish'),('de','German'))
+             AS c(lang, display) ON d.lang = c.lang
+        ORDER BY d.doc_id
+    """
+    o["w1_topk_limit"] = """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT 15
+    """
+    o["w2_label_band_filter"] = """
+        SELECT doc_id,
+          array_to_string(
+            list_filter(string_split(text, ' '), x -> length(trim(x)) > 2 AND length(trim(x)) < 40)[1:15],
+            ',') AS labels
+        FROM documents ORDER BY doc_id
+    """
+
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    o["dedup_exact"] = f"""
+        SELECT substring(sha256({norm}), 1, 16) AS fingerprint,
+               min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY 1 ORDER BY fingerprint
+    """
+
+    # shared shingle CTE for the minhash/jaccard oracles
+    shingle_cte = f"""
+        WITH toks AS (
+          SELECT doc_id, string_split({norm}, ' ') AS tk FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, sh FROM toks,
+            UNNEST(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                                  i -> array_to_string(tk[i:i+2], ' '))) AS u(sh)
+        )
+    """
+    mh = lambda i: (
+        f"min(('0x' || substring(md5(sh || '#{i}'), 1, 15))::BIGINT) AS mh_{i}"
+    )
+    o["dedup_minhash_signatures"] = shingle_cte + f"""
+        SELECT doc_id, {', '.join(mh(i) for i in range(8))}
+        FROM sh GROUP BY doc_id ORDER BY doc_id
+    """
+    o["dedup_minhash_lsh_pairs"] = shingle_cte + f"""
+        , sig AS (
+          SELECT doc_id, {', '.join(mh(i) for i in range(16))}
+          FROM sh GROUP BY doc_id
+        ), banded AS (
+          SELECT doc_id, b.band,
+                 md5(concat_ws(',', CASE b.band {' '.join(f"WHEN {b} THEN mh_{2*b}" for b in range(8))} END,
+                                    CASE b.band {' '.join(f"WHEN {b} THEN mh_{2*b+1}" for b in range(8))} END)) AS key
+          FROM sig, (SELECT unnest(range(0, 8)) AS band) b
+        )
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ORDER BY id_a, id_b
+    """
+    o["dedup_ngram_jaccard"] = shingle_cte + """
+        , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+          FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.0
+        ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+    """
+
+    o["ann_bruteforce_topk"] = """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS score
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY score DESC, vec_id LIMIT 10
+    """
+    o["ann_embedding_near_dup"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 200 AND b.vec_id < 200
+          AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2
+        ORDER BY id_a, id_b
+    """
+
+    o["text_token_count"] = """
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+          length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_subword_tokens,
+          length(text) AS n_chars_measured
+        FROM documents ORDER BY doc_id
+    """
+    o["text_quality_score"] = """
+        WITH m AS (
+          SELECT doc_id,
+            length(text)::DOUBLE AS n_chars,
+            length(string_split_regex(trim(text), '\\s+'))::DOUBLE AS n_tok,
+            length(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS n_punct,
+            length(regexp_extract_all(text, '[A-Z]'))::DOUBLE AS n_upper
+          FROM documents
+        )
+        SELECT doc_id,
+          round(n_chars / greatest(n_tok, 1.0), 4) AS mean_token_len,
+          round(n_punct / greatest(n_chars, 1.0), 4) AS punct_ratio,
+          round(n_upper / greatest(n_chars, 1.0), 4) AS upper_ratio,
+          (least(n_chars::BIGINT, 400)
+             + CASE WHEN n_chars / greatest(n_tok, 1.0) BETWEEN 3.0 AND 12.0 THEN 400 ELSE 120 END
+             + CASE WHEN n_punct / greatest(n_chars, 1.0) <= 0.1 THEN 400 ELSE 160 END
+             + CASE WHEN n_upper / greatest(n_chars, 1.0) <= 0.3 THEN 400 ELSE 200 END)::BIGINT AS quality
+        FROM m ORDER BY doc_id
+    """
+    markers = [
+        ("en", "\\b(the|and|is|of|to|in)\\b"),
+        ("es", "\\b(el|la|los|las|de|y|es)\\b"),
+        ("pl", "\\b(i|w|z|na|si(ę)|jest|nie)\\b"),
+        ("de", "\\b(der|die|das|und|ist|nicht)\\b"),
+        ("fr", "\\b(le|la|les|et|est|ne|pas)\\b"),
+    ]
+    cnt = ", ".join(
+        f"length(regexp_extract_all({norm}, '{pat}')) AS c_{lang}"
+        for lang, pat in markers
+    )
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang, _ in markers) + ")"
+    pred = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN c_{lang} = {best} THEN '{lang}'" for lang, _ in markers
+    ) + " END"
+    o["text_lang_id"] = f"""
+        WITH c AS (SELECT doc_id, lang, {cnt} FROM documents)
+        SELECT doc_id, lang AS lang_declared, {pred} AS lang_pred
+        FROM c ORDER BY doc_id
+    """
+    o["text_fingerprint"] = f"""
+        SELECT doc_id, substring(sha256({norm}), 1, 16) AS fingerprint
+        FROM documents ORDER BY doc_id
+    """
+
+    o["media_metadata"] = f"""
+        SELECT url, COALESCE(octet_length(html), 0) AS n_bytes,
+          CASE
+            WHEN left(upper(hex(html)), 8) = '25504446' THEN 'pdf'
+            WHEN left(upper(hex(html)), 8) = '89504E47' THEN 'png'
+            WHEN left(upper(hex(html)), 6) = 'FFD8FF' THEN 'jpeg'
+            WHEN left(upper(hex(html)), 8) = '47494638' THEN 'gif'
+            WHEN left(upper(hex(html)), 8) = '52494646' THEN 'riff'
+            WHEN left(upper(hex(html)), 8) = '504B0304' THEN 'zip'
+            WHEN left(upper(hex(html)), 8) IN ('3C21444F', '3C68746D') THEN 'html'
+            ELSE 'unknown'
+          END AS media_kind
+        FROM {pages} ORDER BY url
+    """
+    return o

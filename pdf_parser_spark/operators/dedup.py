@@ -1,0 +1,232 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+  * exact dedup is one hash-aggregate (map-side partial agg is free);
+  * MinHash is explode(shingles) -> one groupBy(doc) with K min() aggregates
+    (no UDF: the per-seed hash is a JVM expression), then LSH banding turns
+    the O(n^2) pair search into an equi-join on band keys — the only
+    shuffle-heavy step joins tiny bucket groups, never the corpus;
+  * SimHash is a vectorized Pandas UDF (numpy bit-voting; no per-row Python);
+  * exact n-gram Jaccard uses an inverted shingle index (explode + self-join
+    on shingle) so only co-occurring pairs are scored.
+
+Cross-engine determinism: hashes are 60-bit ints from md5 hex prefixes, which
+DuckDB computes identically (('0x'||substring(md5(s),1,15))::BIGINT), so the
+driver's value-hash oracle can check MinHash signatures exactly.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from .textstats import normalized
+
+__all__ = [
+    "md5_hash60", "exact_dedup", "word_shingles", "minhash_signatures",
+    "minhash_lsh_pairs", "jaccard_pairs", "simhash64", "simhash_dups",
+]
+
+
+def md5_hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash portable across Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical normalized content; keep the smallest id as canonical.
+
+    One shuffle (hash aggregate); partial aggregation runs map-side.
+    """
+    fp = F.substring(F.sha2(normalized(F.col(text_col)), 256), 1, 16)
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingling + MinHash + LSH
+# --------------------------------------------------------------------------
+
+def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document, as (id, shingle) rows.
+
+    Pure JVM: split -> sequence -> transform(slice+concat_ws) -> explode.
+    """
+    tokens = F.split(normalized(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 8) -> DataFrame:
+    """K-permutation MinHash: sig_i = min over shingles of hash60(shingle#i).
+
+    One explode + one groupBy with K min() aggregates — all JVM expressions,
+    map-side combinable, exactly one shuffle.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(md5_hash60(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3, num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding over MinHash signatures.
+
+    Documents sharing any band key become a candidate pair; at scale each
+    band bucket is tiny, so the self-join explodes only real collisions.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        # md5 band key (not Spark's internal hash) so DuckDB oracles can
+        # reproduce the exact candidate set
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("key")
+            ).alias(f"b{b}")
+        )
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
+    banded = banded.select(id_col, "bk.band", "bk.key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram Jaccard similarity via an inverted shingle index.
+
+    common(a,b) from the self-join on shingle; |A|,|B| from a per-doc count;
+    J = common / (|A| + |B| - common). Only co-occurring pairs are scored.
+    """
+    sh = word_shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    l, r = sh.alias("l"), sh.alias("r")
+    common = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (vectorized Pandas UDF — bit voting needs numpy, not a SQL shape)
+# --------------------------------------------------------------------------
+
+@F.pandas_udf(LongType())
+def _simhash64_udf(texts: pd.Series) -> pd.Series:
+    import hashlib
+
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.uint64)
+    out = []
+    for t in texts:
+        toks = set(("" if t is None else str(t)).lower().split())
+        if not toks:
+            out.append(0)
+            continue
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                for tok in toks
+            ],
+            dtype=np.uint64,
+        )
+        bits = (hs[:, None] >> shifts) & np.uint64(1)          # (n_tok, 64)
+        votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)    # +1/-1 voting
+        sim = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+        out.append(sim - (1 << 64) if sim >= (1 << 63) else sim)  # to signed
+    return pd.Series(out, dtype="int64")
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document (Arrow-batched; numpy bit voting)."""
+    return df.select(F.col(id_col), _simhash64_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming.
+
+    Scale path: block on 4 16-bit sub-keys (pigeonhole: any pair within
+    Hamming<=3 of 64 bits agrees on at least one 16-bit block), then verify
+    distance with bit_count on the xor — JVM-side.
+    """
+    sig = simhash64(df, text_col, id_col)
+    blocks = F.array(*[
+        F.struct(
+            F.lit(b).alias("blk"),
+            F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+        )
+        for b in range(4)
+    ])
+    banded = sig.select(id_col, "simhash", F.explode(blocks).alias("bk"))
+    banded = banded.select(id_col, "simhash", "bk.blk", "bk.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.key") == F.col("r.key"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

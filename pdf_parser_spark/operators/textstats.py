@@ -1,0 +1,105 @@
+"""Text-analysis operators over a documents table (JVM-side, codegen-friendly).
+
+All of these compile to built-in Spark SQL expressions (no Python in the hot
+path) and have exact DuckDB-SQL oracles: token counting, quality scoring,
+n-gram-heuristic language ID, and document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalized", "token_count", "quality_score", "lang_id", "fingerprint",
+    "LANG_MARKERS",
+]
+
+
+def normalized(col: Column) -> Column:
+    """Whitespace-collapsed, trimmed, lowercased text (shared normal form)."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy (runs of letters/digits,
+    plus standalone punctuation), both as JVM expressions."""
+    t = F.col(text_col)
+    ws = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
+    return df.select(
+        "doc_id",
+        ws.alias("n_tokens"),
+        bpe.alias("n_subword_tokens"),
+        F.length(t).alias("n_chars_measured"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document-quality heuristics (length, punctuation ratio,
+    uppercase ratio, mean token length) combined into a 0..1 score."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    n_tok = F.size(F.split(F.trim(t), r"\s+")).cast("double")
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[.,;:!?]"), 0)).cast("double")
+    n_upper = F.size(F.regexp_extract_all(t, F.lit(r"[A-Z]"), 0)).cast("double")
+    mean_tok_len = n_chars / F.greatest(n_tok, F.lit(1.0))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1.0))
+    upper_ratio = n_upper / F.greatest(n_chars, F.lit(1.0))
+    # integer point score (0..1600): exact under any engine's float rounding
+    len_pts = F.least(n_chars.cast("long"), F.lit(400))
+    tok_pts = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), 400).otherwise(120)
+    punct_pts = F.when(punct_ratio <= 0.1, 400).otherwise(160)
+    upper_pts = F.when(upper_ratio <= 0.3, 400).otherwise(200)
+    score = (len_pts + tok_pts + punct_pts + upper_pts).cast("long")
+    return df.select(
+        "doc_id",
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(upper_ratio, 4).alias("upper_ratio"),
+        score.alias("quality"),
+    )
+
+
+# (language, marker regex) — tiny deterministic stopword n-gram heuristic.
+# Order matters: ties break toward the earlier entry.
+LANG_MARKERS: List[Tuple[str, str]] = [
+    ("en", r"\b(the|and|is|of|to|in)\b"),
+    ("es", r"\b(el|la|los|las|de|y|es)\b"),
+    ("pl", r"\b(i|w|z|na|si(ę)|jest|nie)\b"),
+    ("de", r"\b(der|die|das|und|ist|nicht)\b"),
+    ("fr", r"\b(le|la|les|et|est|ne|pas)\b"),
+]
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID. Pure JVM regex counting + a CASE argmax
+    with deterministic tie-breaking (list order)."""
+    t = normalized(F.col(text_col))
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"c_{lang}")
+        for lang, pat in LANG_MARKERS
+    ]
+    with_counts = df.select("doc_id", "lang", *counts)
+    best = F.greatest(*[F.col(f"c_{lang}") for lang, _ in LANG_MARKERS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang, _ in LANG_MARKERS:
+        pred = pred.when(F.col(f"c_{lang}") == best, F.lit(lang))
+    return with_counts.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint: sha256 of the whitespace-collapsed,
+    lowercased text (stable across reflows), 16-hex-char prefix."""
+    return df.select(
+        "doc_id",
+        F.substring(F.sha2(normalized(F.col(text_col)), 256), 1, 16).alias("fingerprint"),
+    )
