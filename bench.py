@@ -1,0 +1,118 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <sf>, ...extras}
+
+Extras (informational, not part of the driver contract): docs/sec and MB/sec
+of the flagship extraction pipeline — the BASELINE.json metric — plus corpus
+row/byte counts so throughput numbers are self-describing.
+
+Usage:  python bench.py
+        SPARK_GRAFT_CPUS=8 python bench.py          # scaling-evidence runs
+        python bench.py --queries extract_classic_pipeline
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pdf_parser_spark.corpus import ensure_corpus  # noqa: E402
+from pdf_parser_spark.pipeline import extract_pipeline, load_pages  # noqa: E402
+from pdf_parser_spark.session import get_spark  # noqa: E402
+
+# headline subset: flagship kernel pipeline + one per operator family.
+HEADLINE = [
+    "extract_classic_pipeline",   # P1-P8: the BASELINE.json metric object
+    "extract_error_accounting",   # A1/A2
+    "p4_regex_fields",            # P4-P6 JVM-side regex path
+    "p12_display_name_join",      # broadcast join
+    "dedup_exact",                # exact dedup (hash groupBy)
+    "dedup_minhash_lsh_pairs",    # MinHash+LSH band join
+    "dedup_simhash",              # pandas-UDF simhash
+    "ann_bruteforce_topk",        # similarity search baseline
+    "text_quality_score",         # text analysis
+    "media_metadata",             # multimodal sniffing
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base[2:]) if base.startswith("sf") else 0.1
+    except ValueError:
+        return 0.1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    corpus_dir = ensure_corpus(sf_dir)  # generate before timing
+    spark = get_spark(master=f"local[{cpus}]", app_name=f"bench-sf{sf}")
+    try:
+        # corpus stats for self-describing throughput numbers
+        from pyspark.sql import functions as F
+
+        pages = load_pages(spark, corpus_dir)
+        stats = pages.agg(
+            F.count(F.lit(1)).alias("docs"),
+            (F.sum(F.coalesce(F.length("html"), F.lit(0)))
+             + F.sum(F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")))
+             ).alias("bytes"),
+        ).collect()[0]
+        n_docs, n_bytes = int(stats["docs"]), int(stats["bytes"])
+
+        qmap = entrymod.queries()
+        names = args.queries or HEADLINE
+        timings: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        for name in names:
+            fn = qmap[name]
+            t0 = time.perf_counter()
+            # count() forces the full plan without driver-side collect of payloads
+            rows[name] = fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        # flagship throughput: one clean, warmed pass over the kernel pipeline
+        t0 = time.perf_counter()
+        extract_pipeline(pages).select("url", "status").count()
+        extract_sec = time.perf_counter() - t0
+
+        total = round(sum(timings.values()), 3)
+        out = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "cpus": cpus,
+            "extract_sec": round(extract_sec, 3),
+            "docs_per_sec": round(n_docs / extract_sec, 1),
+            "mb_per_sec": round(n_bytes / 1e6 / extract_sec, 1),
+            "corpus_docs": n_docs,
+            "corpus_mb": round(n_bytes / 1e6, 1),
+            "rows": rows,
+        }
+        print(json.dumps(out))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
