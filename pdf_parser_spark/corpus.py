@@ -60,10 +60,10 @@ _FILLER = [
 _NAV_WORDS = ["Home", "Products", "Claims", "Support", "About", "Login", "Careers", "Blog"]
 
 # rows per scale factor: ~TPC-H-ish growth, small enough to generate quickly
-_SF_ROWS = {0.001: 100, 0.01: 500, 0.1: 6000}
-_SF_MEGA = {0.001: 0, 0.01: 250, 0.1: 300}           # every Nth row is a mega-doc
-_SF_MEGA_BYTES = {0.001: 0, 0.01: 200_000, 0.1: 2_000_000}
-_SF_PAD = {0.001: 0, 0.01: 2_000, 0.1: 30_000}       # baseline per-doc pad bytes
+_SF_ROWS = {0.001: 100, 0.01: 500, 0.1: 6000, 1.0: 60000}
+_SF_MEGA = {0.001: 0, 0.01: 250, 0.1: 300, 1.0: 300}  # every Nth row is a mega-doc
+_SF_MEGA_BYTES = {0.001: 0, 0.01: 200_000, 0.1: 2_000_000, 1.0: 2_000_000}
+_SF_PAD = {0.001: 0, 0.01: 2_000, 0.1: 30_000, 1.0: 30_000}  # baseline per-doc pad bytes
 
 
 def _claim_lines(rng: random.Random, i: int) -> Tuple[List[str], Dict[str, str]]:
@@ -146,18 +146,31 @@ def _make_html(rng: random.Random, i: int, pad: int) -> Tuple[bytes, str, Dict[s
     return html.encode("utf-8"), expected, golden
 
 
-def generate_rows(sf: float, seed: int = SEED) -> List[Dict[str, Any]]:
-    n = _SF_ROWS.get(sf) or max(100, int(60000 * sf))
+def corpus_size(sf: float) -> int:
+    return _SF_ROWS.get(sf) or max(100, int(60000 * sf))
+
+
+def generate_rows(
+    sf: float, seed: int = SEED, lo: int = 0, hi: Optional[int] = None
+) -> List[Dict[str, Any]]:
+    """Rows [lo, hi) of the corpus. Each row is a pure function of (seed, i),
+    so any index range can be generated independently (parallel shards)."""
+    n = corpus_size(sf)
+    hi = n if hi is None else min(hi, n)
     mega_every = _SF_MEGA.get(sf, 0)
     mega_bytes = _SF_MEGA_BYTES.get(sf, 0)
     base_pad = _SF_PAD.get(sf, 0)
     rows: List[Dict[str, Any]] = []
-    for i in range(n):
+    for i in range(lo, hi):
         rng = random.Random((seed << 20) ^ i)
         kind = i % 20
         ts = _EPOCH + timedelta(seconds=i)
         pad = base_pad and rng.randrange(0, base_pad)
-        if mega_every and i % mega_every == mega_every - 1:
+        # mega rows must land on kinds 0..15 (html/pdf) — kinds 16..19 ignore
+        # pad (an offset of mega_every-1 used to hit kind 19 every time, so no
+        # mega doc was ever actually emitted); offset mega_every//2 lands on
+        # an html row for every configured mega_every
+        if mega_every and i % mega_every == mega_every // 2:
             pad = mega_bytes
         url: str
         html: bytes
@@ -213,14 +226,35 @@ _GOLDEN_SCHEMA = pa.schema([
 ])
 
 
+def _gen_shard(args: Tuple[float, int, int, int, int, str]) -> Tuple[List[str], List[Optional[str]], List[Optional[str]]]:
+    """Worker: generate rows [lo,hi), write one pages shard, return goldens."""
+    sf, seed, lo, hi, shard, pages_dir = args
+    chunk = generate_rows(sf, seed, lo, hi)
+    if chunk:
+        tbl = pa.Table.from_pydict(
+            {k: [r[k] for r in chunk] for k in ("url", "warc_ts", "html", "text", "lang")},
+            schema=_PAGES_SCHEMA,
+        )
+        pq.write_table(tbl, os.path.join(pages_dir, f"part-{shard:04d}.parquet"),
+                       row_group_size=64, compression="snappy")
+    return (
+        [r["url"] for r in chunk],
+        [r["_golden_text"] for r in chunk],
+        [r["_golden_fields_json"] for r in chunk],
+    )
+
+
 def generate_corpus(out_dir: str, sf: float, seed: int = SEED, shards: int = 8) -> str:
-    """Write pages.parquet/ (sharded) + goldens.parquet under out_dir. Atomic."""
+    """Write pages.parquet/ (sharded) + goldens.parquet under out_dir. Atomic.
+
+    Shards are generated in parallel processes for large sf — sound because
+    every row is a pure function of (seed, i)."""
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
-    rows = generate_rows(sf, seed)
+    n = corpus_size(sf)
     # sanity: goldens must agree with the field kernel on golden text
-    for r in rows[:50]:
+    for r in generate_rows(sf, seed, 0, 50):
         if r["_golden_fields_json"] and r["_golden_text"]:
             got = canonical_json(extract_fields(r["_golden_text"]))
             assert got == r["_golden_fields_json"], (r["url"], got, r["_golden_fields_json"])
@@ -228,28 +262,32 @@ def generate_corpus(out_dir: str, sf: float, seed: int = SEED, shards: int = 8) 
     tmp = tempfile.mkdtemp(prefix=".corpus-tmp-", dir=os.path.dirname(out_dir) or ".")
     pages_dir = os.path.join(tmp, "pages.parquet")
     os.makedirs(pages_dir, exist_ok=True)
-    per = (len(rows) + shards - 1) // shards
-    for s in range(shards):
-        chunk = rows[s * per : (s + 1) * per]
-        if not chunk:
-            continue
-        tbl = pa.Table.from_pydict(
-            {k: [r[k] for r in chunk] for k in ("url", "warc_ts", "html", "text", "lang")},
-            schema=_PAGES_SCHEMA,
-        )
-        pq.write_table(tbl, os.path.join(pages_dir, f"part-{s:04d}.parquet"),
-                       row_group_size=64, compression="snappy")
+    if n >= 20000:
+        shards = max(shards, 32)
+    per = (n + shards - 1) // shards
+    tasks = [
+        (sf, seed, s * per, min((s + 1) * per, n), s, pages_dir)
+        for s in range(shards)
+        if s * per < n
+    ]
+    if n >= 5000:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=min(len(tasks), os.cpu_count() or 8)) as ex:
+            results = list(ex.map(_gen_shard, tasks))
+    else:
+        results = [_gen_shard(t) for t in tasks]
     gtbl = pa.Table.from_pydict(
         {
-            "url": [r["url"] for r in rows],
-            "golden_text": [r["_golden_text"] for r in rows],
-            "golden_fields_json": [r["_golden_fields_json"] for r in rows],
+            "url": [u for r in results for u in r[0]],
+            "golden_text": [t for r in results for t in r[1]],
+            "golden_fields_json": [j for r in results for j in r[2]],
         },
         schema=_GOLDEN_SCHEMA,
     )
     pq.write_table(gtbl, os.path.join(tmp, "goldens.parquet"))
     with open(os.path.join(tmp, "_DONE"), "w") as f:
-        f.write(f"sf={sf} seed={seed} rows={len(rows)}\n")
+        f.write(f"sf={sf} seed={seed} rows={n}\n")
     os.makedirs(os.path.dirname(out_dir), exist_ok=True)
     try:
         os.rename(tmp, out_dir)

@@ -29,8 +29,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
-        .config("spark.sql.files.maxPartitionBytes", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # scan splits are the load-balancing unit of the shuffle-free kernel
+        # plan: ~16 MB ≈ 1-3 s of kernel work per task on this box. Smaller
+        # splits = better balance at high core counts; tune per cluster.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
+        # measured on this box: heaps >= 4g give erratic 3-10x slower warm runs
+        # (GC pathology in single-JVM local mode); 2g is stable and ample for
+        # count/write actions. Real clusters size executor memory at submit.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "2g"))
         .config("spark.ui.enabled", "false")
     )
     if master:
