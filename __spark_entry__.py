@@ -257,6 +257,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
     q["w2_label_band_filter"] = w2_label_band_filter
 
+    # ---- S5: JSON export sink rendering (pandas UDF: rows-only oracle) ------
+    def s5_json_export(spark, sf_dir):
+        from pdf_parser_spark.sinks import json_export
+        out = extract_pipeline(_pages(spark, sf_dir))
+        return json_export(out.where(F.col("status") == "ok")).orderBy("url")
+    q["s5_json_export"] = s5_json_export
+
     # ---- dedup ---------------------------------------------------------------
     def dedup_exact(spark, sf_dir):
         return D.exact_dedup(_docs(spark, sf_dir)).orderBy("fingerprint")
@@ -283,6 +290,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_simhash(spark, sf_dir):  # Pandas-UDF op: rows-only oracle
         return D.simhash64(_docs(spark, sf_dir)).orderBy("doc_id")
     q["dedup_simhash"] = dedup_simhash
+
+    def dedup_simhash_pairs(spark, sf_dir):  # pigeonhole-blocked Hamming join
+        return D.simhash_dups(_docs(spark, sf_dir), max_hamming=8).orderBy(
+            "id_a", "id_b"
+        )
+    q["dedup_simhash_pairs"] = dedup_simhash_pairs
 
     # ---- similarity -----------------------------------------------------------
     def ann_bruteforce_topk(spark, sf_dir):
