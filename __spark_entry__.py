@@ -297,6 +297,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_simhash_pairs"] = dedup_simhash_pairs
 
+    def dedup_clusters(spark, sf_dir):  # LSH pairs -> connected components
+        return D.dup_clusters(
+            _docs(spark, sf_dir), num_hashes=16, bands=8
+        ).orderBy("doc_id")
+    q["dedup_clusters"] = dedup_clusters
+
     # ---- similarity -----------------------------------------------------------
     def ann_bruteforce_topk(spark, sf_dir):
         return S.brute_force_topk(_emb(spark, sf_dir), query_id=0, k=10)
@@ -311,6 +317,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_lsh_bucketed_topk(spark, sf_dir):  # seeded-numpy op: rows-only
         return S.lsh_bucketed_topk(_emb(spark, sf_dir), query_id=0, k=10, n_planes=4)
     q["ann_lsh_bucketed_topk"] = ann_lsh_bucketed_topk
+
+    def ann_ivf_topk(spark, sf_dir):  # seeded k-means IVF: rows-only oracle
+        return S.ivf_topk(
+            _emb(spark, sf_dir), query_id=0, k=10, n_lists=8, n_probe=8
+        )
+    q["ann_ivf_topk"] = ann_ivf_topk
 
     # ---- text analysis --------------------------------------------------------
     def text_token_count(spark, sf_dir):
@@ -337,6 +349,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def media_features(spark, sf_dir):  # stubbed decode: rows-only oracle
         return M.media_features(_pages(spark, sf_dir)).orderBy("url")
     q["media_features"] = media_features
+
+    def media_frame_sample(spark, sf_dir):  # UDTF-shaped fan-out: rows-only
+        return M.frame_sample(_pages(spark, sf_dir), n_frames=4).orderBy(
+            "url", "frame_idx"
+        )
+    q["media_frame_sample"] = media_frame_sample
 
     return q
 
@@ -468,6 +486,34 @@ def oracle_sql() -> dict[str, str]:
           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
         ORDER BY id_a, id_b
     """
+    # connected components over the same LSH pair graph, via transitive
+    # closure (WITH RECURSIVE; UNION dedup guarantees termination) — small at
+    # oracle scale, while the Spark side uses min-label propagation rounds
+    o["dedup_clusters"] = "WITH RECURSIVE " + shingle_cte.replace("WITH", "", 1) + f"""
+        , sig AS (
+          SELECT doc_id, {', '.join(mh(i) for i in range(16))}
+          FROM sh GROUP BY doc_id
+        ), banded AS (
+          SELECT doc_id, b.band,
+                 md5(concat_ws(',', CASE b.band {' '.join(f"WHEN {b} THEN mh_{2*b}" for b in range(8))} END,
+                                    CASE b.band {' '.join(f"WHEN {b} THEN mh_{2*b+1}" for b in range(8))} END)) AS key
+          FROM sig, (SELECT unnest(range(0, 8)) AS band) b
+        ), pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ), e AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(s, d) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+        )
+        SELECT s AS doc_id, min(d) AS component FROM reach
+        GROUP BY s ORDER BY doc_id
+    """
+
     o["dedup_ngram_jaccard"] = shingle_cte + """
         , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         common AS (

@@ -704,15 +704,21 @@ def _page_glyphs(doc: PDFDocument, page: Dict[str, Any]) -> List[Tuple[float, fl
         if st.font is None:
             return
         for code, uni, w0 in st.font.decode(s):
-            trm = _mmul((st.fsize * st.th, 0.0, 0.0, st.fsize, 0.0, st.ts),
-                        _mmul(st.tm, ctm))
+            # only the translation row of trm = S x (tm x ctm) is consumed
+            # (S = (fs*th,0,0,fs,0,ts)), so expand just that row; the float
+            # expressions below are bit-identical to the full _mmul chain
+            m = _mmul(st.tm, ctm)
+            x0 = st.ts * m[2] + m[4]
+            y = st.ts * m[3] + m[5]
             adv = w0 * st.fsize + st.tc
             if code == 32 and not st.font.two_byte:
                 adv += st.tw
             adv *= st.th
-            x0, y = trm[4], trm[5]
             glyphs.append((x0, x0 + adv, y, uni))
-            st.tm = _mmul((1.0, 0.0, 0.0, 1.0, adv, 0.0), st.tm)
+            # translation-by-adv premultiply, expanded (bit-identical)
+            tm = st.tm
+            st.tm = (tm[0], tm[1], tm[2], tm[3],
+                     adv * tm[0] + tm[4], adv * tm[1] + tm[5])
 
     for kind, tok in _content_tokens(data):
         if kind == "val":

@@ -29,6 +29,7 @@ from .textstats import normalized
 __all__ = [
     "md5_hash60", "exact_dedup", "word_shingles", "minhash_signatures",
     "minhash_lsh_pairs", "jaccard_pairs", "simhash64", "simhash_dups",
+    "connected_components", "dup_clusters",
 ]
 
 
@@ -161,6 +162,65 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate clusters: connected components over the near-dup pair graph
+# --------------------------------------------------------------------------
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Min-label propagation to a fixpoint: every node ends up labelled with
+    the smallest id reachable from it. Returns (id_col, component).
+
+    Iterative-algorithm-on-Spark shape: a driver loop of joins, with
+    localCheckpoint() per round to truncate the lineage (else the plan
+    doubles every iteration) and a LongAccumulator-free convergence test via
+    a changed-count aggregate. Rounds needed = graph diameter, which for
+    near-dup clusters is tiny (dups cluster into cliques/stars); each round
+    is one shuffle join on (node -> label), never on payloads.
+    """
+    both = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            both.join(labels, both.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("_chg"),
+            )
+        )
+        updated = updated.localCheckpoint()
+        changed = updated.where(F.col("_chg")).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+def dup_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, num_hashes: int = 16, bands: int = 8,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash+LSH pairs -> components.
+
+    The canonical keep-one-per-cluster rule is then `component == doc_id`
+    (smallest id survives), matching exact_dedup's keep_id convention.
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col, n, num_hashes, bands)
+    return connected_components(df.select(id_col), pairs, id_col)
 
 
 # --------------------------------------------------------------------------

@@ -17,11 +17,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, FloatType, IntegerType, LongType, StringType, StructField,
-    StructType,
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
-__all__ = ["media_metadata", "media_features", "decode_image"]
+__all__ = [
+    "media_metadata", "media_features", "decode_image",
+    "image_resize", "frame_sample",
+]
 
 # magic-number sniffing, all JVM-side (hex compare on the first bytes)
 _MAGICS = [
@@ -114,3 +117,91 @@ def media_features(
             })
 
     return df.select(key_col, bin_col).mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+    StructField("thumb", BinaryType()),
+])
+
+
+def image_resize(
+    df: DataFrame,
+    out_w: int = 32,
+    out_h: int = 32,
+    bin_col: str = "html",
+    key_col: str = "url",
+) -> DataFrame:
+    """Resize plumbing: decode -> resample -> re-encode, Arrow-batched.
+
+    The resample itself is the stubbed decode (deterministic fake thumbnail
+    seeded by content digest — exactly out_w*out_h bytes, so downstream
+    schema/size contracts are real); production swaps `_fake_thumb` for a
+    Pillow `Image.resize` without touching the Spark plan.
+    """
+
+    def _fake_thumb(payload: bytes) -> bytes:
+        digest = hashlib.sha256(payload or b"").digest()
+        reps = (out_w * out_h + len(digest) - 1) // len(digest)
+        return (digest * reps)[: out_w * out_h]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf[key_col],
+                "out_w": pd.Series([out_w] * len(pdf), dtype="int32"),
+                "out_h": pd.Series([out_h] * len(pdf), dtype="int32"),
+                "thumb": [_fake_thumb(p) for p in pdf[bin_col]],
+            })
+
+    return df.select(key_col, bin_col).mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("offset_frac", FloatType()),
+    StructField("frame_features", ArrayType(FloatType())),
+])
+
+
+def frame_sample(
+    df: DataFrame,
+    n_frames: int = 4,
+    dim: int = 8,
+    bin_col: str = "html",
+    key_col: str = "url",
+) -> DataFrame:
+    """Frame-sampling plumbing: one input row fans out to n_frames rows
+    (UDTF shape via mapInPandas — output batches need not align 1:1 with
+    input rows). Each "frame" is featurized from a deterministic byte window
+    at evenly spaced offsets; production replaces the window read with an
+    ffmpeg seek+decode at the same offsets.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict = {"url": [], "frame_idx": [], "offset_frac": [],
+                         "frame_features": []}
+            for url, payload in zip(pdf[key_col], pdf[bin_col]):
+                payload = payload or b""
+                for i in range(n_frames):
+                    frac = i / n_frames
+                    start = int(frac * max(len(payload) - 64, 0))
+                    window = payload[start: start + 64]
+                    out["url"].append(url)
+                    out["frame_idx"].append(i)
+                    out["offset_frac"].append(frac)
+                    out["frame_features"].append(
+                        [float(x) for x in _fake_features(window, dim)]
+                    )
+            yield pd.DataFrame({
+                "url": out["url"],
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "offset_frac": pd.Series(out["offset_frac"], dtype="float32"),
+                "frame_features": out["frame_features"],
+            })
+
+    return df.select(key_col, bin_col).mapInPandas(kernel, FRAME_SCHEMA)

@@ -22,6 +22,7 @@ from pyspark.sql.types import IntegerType
 __all__ = [
     "cosine", "brute_force_topk", "embedding_near_dup_pairs",
     "lsh_bucketed_topk", "hyperplane_bucket_udf",
+    "ivf_train_centroids", "ivf_assign", "ivf_topk",
 ]
 
 
@@ -112,6 +113,98 @@ def hyperplane_bucket_udf(dim: int, n_planes: int = 12, seed: int = 7):
         return pd.Series(keys.astype(np.int32))
 
     return bucket
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 2048,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train IVF coarse centroids with a deterministic seeded k-means.
+
+    Trains on a bounded sample collected to the driver — standard IVF
+    practice (FAISS trains on ~(30-256)*nlist samples regardless of corpus
+    size), so this stays O(sample) at 10^12 vectors. Spherical k-means:
+    vectors and centroids are L2-normalized so assignment by max dot product
+    equals max cosine.
+    """
+    sample = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in embeddings.select(vec_col).limit(sample_rows).collect()
+    ]
+    mat = np.stack(sample)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / np.maximum(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the nearest-centroid list id (vectorized; centroids are a
+    closure constant — the Spark analog of a broadcast variable)."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cent.T, axis=1).astype(np.int32))
+
+    return embeddings.withColumn("_ivf_list", nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: probe only the n_probe lists nearest the query.
+
+    The scale path beyond hyperplane LSH: with a partitioned/bucketed layout
+    on `_ivf_list`, the probe is partition pruning — a 10^12-vector search
+    touches n_probe/n_lists of the data and nothing else. Recall vs the
+    brute-force baseline is asserted in tests.
+    """
+    cent = ivf_train_centroids(embeddings, n_lists, vec_col, seed=seed)
+    assigned = ivf_assign(embeddings, cent, vec_col)
+    qvec = np.asarray(
+        embeddings.where(F.col(id_col) == query_id).select(vec_col).first()[0],
+        dtype=np.float64,
+    )
+    qn = qvec / np.maximum(np.linalg.norm(qvec), 1e-12)
+    probe = np.argsort(-(cent @ qn))[:n_probe].tolist()
+    q = embeddings.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_query_vec")
+    )
+    return (
+        assigned.where(F.col("_ivf_list").isin(probe) & (F.col(id_col) != query_id))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_query_vec")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def lsh_bucketed_topk(

@@ -1,0 +1,143 @@
+"""IVF ANN, connected-components clustering, and multimodal resize/frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+class TestIVF:
+    def test_centroids_are_unit_norm_and_deterministic(self, emb):
+        import numpy as np
+
+        from pdf_parser_spark.operators.similarity import ivf_train_centroids
+
+        c1 = ivf_train_centroids(emb, n_lists=8, seed=7)
+        c2 = ivf_train_centroids(emb, n_lists=8, seed=7)
+        assert np.array_equal(c1, c2)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    def test_assign_covers_all_lists_range(self, emb):
+        from pdf_parser_spark.operators.similarity import (
+            ivf_assign, ivf_train_centroids,
+        )
+
+        cent = ivf_train_centroids(emb, n_lists=8, seed=7)
+        a = ivf_assign(emb, cent)
+        lists = [r[0] for r in a.select("_ivf_list").distinct().collect()]
+        assert all(0 <= l < 8 for l in lists) and len(lists) > 1
+
+    def test_recall_vs_brute_force(self, emb):
+        from pdf_parser_spark.operators.similarity import (
+            brute_force_topk, ivf_topk,
+        )
+
+        exact = {r.vec_id for r in brute_force_topk(emb, query_id=1, k=10).collect()}
+        approx = {
+            r.vec_id
+            for r in ivf_topk(emb, query_id=1, k=10, n_lists=8, n_probe=4).collect()
+        }
+        # probing half the lists must recover at least half the true top-k
+        assert len(exact & approx) >= 5
+
+    def test_full_probe_equals_brute_force(self, emb):
+        from pdf_parser_spark.operators.similarity import (
+            brute_force_topk, ivf_topk,
+        )
+
+        exact = [tuple(r) for r in brute_force_topk(emb, query_id=2, k=5).collect()]
+        full = [
+            tuple(r)
+            for r in ivf_topk(emb, query_id=2, k=5, n_lists=4, n_probe=4).collect()
+        ]
+        assert exact == full  # probing every list is exhaustive search
+
+
+class TestConnectedComponents:
+    def _components(self, spark, edges, n_nodes):
+        from pdf_parser_spark.operators.dedup import connected_components
+
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(n_nodes)], "doc_id bigint"
+        )
+        e = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        rows = connected_components(nodes, e).collect()
+        return {r.doc_id: r.component for r in rows}
+
+    def test_two_cliques_and_singleton(self, spark):
+        comp = self._components(spark, [(0, 1), (1, 2), (3, 4)], 6)
+        assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+    def test_chain_propagates_to_min(self, spark):
+        # a path 4-3-2-1-0 needs multiple rounds: tests the fixpoint loop
+        comp = self._components(spark, [(3, 4), (2, 3), (1, 2), (0, 1)], 5)
+        assert set(comp.values()) == {0}
+
+    def test_no_edges_all_singletons(self, spark):
+        comp = self._components(spark, [], 4)
+        assert comp == {i: i for i in range(4)}
+
+    def test_dup_clusters_end_to_end(self, spark):
+        from pdf_parser_spark.operators.dedup import dup_clusters
+
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "a completely different document about spark physical planning"),
+            (3, "the quick brown fox jumps over the lazy dog again and again!"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        comp = {r.doc_id: r.component for r in dup_clusters(df).collect()}
+        assert comp[0] == comp[1] == 0   # exact dups cluster to smallest id
+        assert comp[2] == 2              # unrelated text stays alone
+        # keep-rule: survivors are rows whose component == own id
+        survivors = {d for d, c in comp.items() if c == d}
+        assert 0 in survivors and 2 in survivors and 1 not in survivors
+
+
+class TestMultimodalExt:
+    def test_image_resize_contract(self, spark):
+        from pdf_parser_spark.operators.multimodal import image_resize
+
+        df = spark.createDataFrame(
+            [("u1", b"\x89PNG fake payload bytes"), ("u2", None)],
+            "url string, html binary",
+        )
+        rows = {r.url: r for r in image_resize(df, out_w=8, out_h=4).collect()}
+        assert len(bytes(rows["u1"].thumb)) == 8 * 4
+        assert rows["u1"].out_w == 8 and rows["u1"].out_h == 4
+        assert len(bytes(rows["u2"].thumb)) == 8 * 4  # null payload still yields a row
+        # determinism: same payload -> same thumb
+        again = {r.url: r for r in image_resize(df, out_w=8, out_h=4).collect()}
+        assert bytes(again["u1"].thumb) == bytes(rows["u1"].thumb)
+
+    def test_frame_sample_fans_out(self, spark):
+        from pdf_parser_spark.operators.multimodal import frame_sample
+
+        df = spark.createDataFrame(
+            [("v1", bytes(range(256)) * 4), ("v2", b"")],
+            "url string, html binary",
+        )
+        out = frame_sample(df, n_frames=3, dim=4).collect()
+        assert len(out) == 6  # 2 rows x 3 frames
+        v1 = sorted([r for r in out if r.url == "v1"], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in v1] == [0, 1, 2]
+        assert all(len(r.frame_features) == 4 for r in out)
+        # distinct offsets must featurize differently on real payloads
+        assert v1[0].frame_features != v1[2].frame_features
+
+    def test_decode_stub_raises(self):
+        from pdf_parser_spark.operators.multimodal import decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff fake jpeg")
