@@ -1,0 +1,54 @@
+"""Physical-plan audit: exchanges / pushdown / pruning / join strategy per
+query. Backs the 'Plan audit' section of BENCH.md.
+
+Usage: python tools/plan_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pdf_parser_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+DEFAULT = [
+    "extract_classic_pipeline", "p4_regex_fields", "p12_display_name_join",
+    "w1_topk_limit", "dedup_exact", "dedup_minhash_lsh_pairs",
+    "ann_bruteforce_topk", "text_quality_score", "f1_f2_size_filter",
+]
+
+
+def main() -> int:
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    from pdf_parser_spark.corpus import ensure_corpus
+
+    ensure_corpus(SF_DIR)
+    q = entrymod.queries()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    for name in names:
+        df = q[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(mode)
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        schemas = re.findall(r"ReadSchema: (.*)", plan)
+        print(
+            f"== {name}: exchanges={plan.count('Exchange')}"
+            f" broadcastJoin={plan.count('BroadcastHashJoin')}"
+            f" sortMergeJoin={plan.count('SortMergeJoin')}"
+            f" topK={plan.count('TakeOrderedAndProject')}"
+        )
+        for p, s in zip(pushed or ["-"] * len(schemas), schemas):
+            print(f"   pushed=[{p[:70]}] read={s[:100]}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
