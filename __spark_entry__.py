@@ -96,6 +96,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["extract_classic_pipeline"] = extract_classic_pipeline
 
+    def extract_ai_pipeline(spark, sf_dir):
+        # U2 surface: same plan with the deterministic stub model (the
+        # reference's own tests mock OpenAI exactly this way); fields_json is
+        # therefore a pure function of document validity
+        out = extract_pipeline(_pages(spark, sf_dir), method="ai")
+        return out.select("url", "method", "fields_json", "status").orderBy("url")
+    q["extract_ai_pipeline"] = extract_ai_pipeline
+
     def extract_error_accounting(spark, sf_dir):  # A1/A2: per-status tallies
         out = extract_pipeline(_pages(spark, sf_dir))
         return (
@@ -372,6 +380,14 @@ def oracle_sql() -> dict[str, str]:
     o["extract_classic_pipeline"] = f"""
         SELECT url, golden_text AS text, golden_fields_json AS fields_json
         FROM {goldens} WHERE golden_text IS NOT NULL
+    """
+    o["extract_ai_pipeline"] = f"""
+        SELECT url, 'ai' AS method,
+               CASE WHEN golden_text IS NOT NULL
+                    THEN '{{"customer_name": "John Doe", "policy_number": "POL-123"}}'
+               END AS fields_json,
+               CASE WHEN golden_text IS NULL THEN 'error' ELSE 'ok' END AS status
+        FROM {goldens} ORDER BY url
     """
     o["extract_error_accounting"] = f"""
         SELECT CASE WHEN golden_text IS NULL THEN 'error' ELSE 'ok' END AS status,
