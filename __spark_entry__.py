@@ -104,6 +104,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("url", "method", "fields_json", "status").orderBy("url")
     q["extract_ai_pipeline"] = extract_ai_pipeline
 
+    def ai_label_discovery(spark, sf_dir):
+        # discover -> filter_labels band -> top-15 over the real ai_stub code
+        # path; the stub response is constant, so the result is oracle-able
+        import pandas as pd
+
+        from pdf_parser_spark.kernels.ai_stub import discover_labels
+
+        # no annotations: `from __future__ import annotations` stringifies
+        # them, which pandas_udf's signature inspection rejects; labels are
+        # joined to a string so the driver's value-hash compares portably
+        @F.pandas_udf("string")
+        def disc(texts):
+            out = []
+            for t in texts:
+                try:
+                    out.append("|".join(discover_labels(t or "")))
+                except Exception:
+                    out.append(None)
+            return pd.Series(out)
+
+        p = _pages(spark, sf_dir)
+        return (
+            p.where(F.trim("text") != "")
+            .select("url", disc(F.col("text")).alias("labels"))
+            .orderBy("url")
+        )
+    q["ai_label_discovery"] = ai_label_discovery
+
     def extract_error_accounting(spark, sf_dir):  # A1/A2: per-status tallies
         out = extract_pipeline(_pages(spark, sf_dir))
         return (
@@ -388,6 +416,10 @@ def oracle_sql() -> dict[str, str]:
                END AS fields_json,
                CASE WHEN golden_text IS NULL THEN 'error' ELSE 'ok' END AS status
         FROM {goldens} ORDER BY url
+    """
+    o["ai_label_discovery"] = f"""
+        SELECT url, 'Customer Name|Policy Number|Claim Amount' AS labels
+        FROM {pages} WHERE trim(text) <> '' ORDER BY url
     """
     o["extract_error_accounting"] = f"""
         SELECT CASE WHEN golden_text IS NULL THEN 'error' ELSE 'ok' END AS status,
