@@ -418,7 +418,11 @@ def oracle_sql() -> dict[str, str]:
         FROM {goldens} ORDER BY url
     """
     o["ai_label_discovery"] = f"""
-        SELECT url, 'Customer Name|Policy Number|Claim Amount' AS labels
+        -- SQL trim strips spaces only; discover_labels' Python strip() also
+        -- strips tab/newline, so whitespace-only rows yield NULL labels
+        SELECT url,
+               CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+                    THEN 'Customer Name|Policy Number|Claim Amount' END AS labels
         FROM {pages} WHERE trim(text) <> '' ORDER BY url
     """
     o["extract_error_accounting"] = f"""
