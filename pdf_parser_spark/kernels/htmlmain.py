@@ -12,6 +12,9 @@ offsets of each kept block within that text, emitted as (tag, start, end).
 
 from __future__ import annotations
 
+import html.parser as _hp
+import re
+from html import unescape
 from html.parser import HTMLParser
 from typing import List, Optional, Tuple
 
@@ -116,27 +119,160 @@ class _MainContentParser(HTMLParser):
         self._flush()
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer (hot path)
+#
+# html.parser's goahead/parse_starttag cost ~2 µs/tag in per-char bookkeeping
+# and attribute-value unescaping we never use (handlers ignore attrs). This
+# tokenizer reuses html.parser's OWN compiled grammar regexes for tag
+# boundaries, so clean markup produces the exact same event stream; any
+# construct it cannot replicate bit-for-bit (truncated tags, incomplete
+# comments, CDATA sections, rawtext edge cases) returns None and the whole
+# document takes the exact html.parser path instead. Equality is enforced by
+# a differential test over the corpus + generated + adversarial inputs.
+# ---------------------------------------------------------------------------
+
+_RAWTEXT_CLOSE = {
+    "script": re.compile(r"</\s*script", re.IGNORECASE),
+    "style": re.compile(r"</\s*style", re.IGNORECASE),
+}
+
+
+def _fast_events(raw: str) -> Optional[List[Tuple[str, str]]]:
+    """Tokenize to [('s'|'e'|'d', arg)] events, or None -> use exact parser."""
+    ev: List[Tuple[str, str]] = []
+    n = len(raw)
+    i = 0
+    find = raw.find
+    locate = _hp.locatestarttagend_tolerant.match
+    tagfind = _hp.tagfind_tolerant.match
+    endtagfind = _hp.endtagfind.match
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            ev.append(("d", unescape(raw[i:])))
+            break
+        if lt > i:
+            ev.append(("d", unescape(raw[i:lt])))
+        i = lt
+        c = raw[i + 1 : i + 2]
+        if c.isalpha() and c.isascii():
+            m = locate(raw, i)
+            k = m.end()
+            if raw.startswith(">", k):
+                endpos, selfclosing = k + 1, False
+            elif raw.startswith("/>", k):
+                endpos, selfclosing = k + 2, True
+            else:
+                return None  # truncated or pathological start tag
+            tag = tagfind(raw, i + 1).group(1).lower()
+            ev.append(("s", tag))
+            if selfclosing:
+                ev.append(("e", tag))
+                i = endpos
+                continue
+            if tag in _RAWTEXT_CLOSE:
+                mclose = _RAWTEXT_CLOSE[tag].search(raw, endpos)
+                if not mclose:
+                    break  # unterminated rawtext: rest of doc is swallowed
+                j = mclose.start()
+                em = endtagfind(raw, j)
+                if not em:
+                    return None  # '</script x>'-style close: exact path
+                if j > endpos:
+                    ev.append(("d", raw[endpos:j]))  # rawtext: NO unescape
+                ev.append(("e", tag))
+                i = em.end()
+            else:
+                i = endpos
+        elif c == "/":
+            em = endtagfind(raw, i)
+            if em:
+                ev.append(("e", em.group(1).lower()))
+                i = em.end()
+            elif raw.startswith("</>", i):
+                i += 3  # consumed silently
+            else:
+                nm = tagfind(raw, i + 2)
+                if nm:  # tolerant endtag: '</div foo>' -> end 'div'
+                    gt = find(">", nm.end())
+                    if gt < 0:
+                        return None
+                    ev.append(("e", nm.group(1).lower()))
+                    i = gt + 1
+                else:
+                    gt = find(">", i + 1)
+                    if gt < 0:  # dangling '</' at EOF: '<' then raw rest
+                        ev.append(("d", "<"))
+                        if i + 1 < n:
+                            ev.append(("d", unescape(raw[i + 1 :])))
+                        break
+                    i = gt + 1  # bogus endtag ('</3>') consumed silently
+        elif c == "!":
+            if raw.startswith("<!--", i):
+                m = _hp.commentclose.search(raw, i + 4)
+                if not m:
+                    return None  # incomplete comment: exact path
+                i = m.end()
+            elif raw.startswith("<![", i):
+                return None  # marked section (CDATA/conditional): exact path
+            else:
+                gt = find(">", i + 1)
+                if gt < 0:
+                    return None
+                i = gt + 1  # declaration/bogus consumed silently
+        elif c == "?":
+            m = _hp.piclose.search(raw, i + 2)
+            if not m:
+                return None
+            i = m.end()
+        else:
+            ev.append(("d", "<"))  # literal '<' is its own data event
+            i += 1
+    return ev
+
+
 def extract_main_content(
     html_bytes: bytes,
     min_block_chars: int = MIN_BLOCK_CHARS,
     max_link_density: float = MAX_LINK_DENSITY,
+    engine: str = "auto",
 ) -> Tuple[str, List[Tuple[str, int, int]]]:
     """Return (main_text, spans). spans = (tag, start, end) per kept block.
 
     Heuristic: keep content blocks that carry enough text (>= min_block_chars)
     and are not link-dominated (< max_link_density); headings adjacent to kept
     content are retained regardless of length (they label the content).
+
+    engine: 'auto' (fast tokenizer, exact fallback), 'exact' (html.parser),
+    'fast' (fail if the fast path bails — test use only).
     """
     try:
         raw = html_bytes.decode("utf-8")
     except UnicodeDecodeError:
         raw = html_bytes.decode("utf-8", errors="replace")
     parser = _MainContentParser()
-    try:
-        parser.feed(raw)
-        parser.close()
-    except Exception:
-        pass  # keep whatever blocks were collected before the error
+    events = None if engine == "exact" else _fast_events(raw)
+    if events is not None:
+        handle = {
+            "s": lambda a: parser.handle_starttag(a, ()),
+            "e": parser.handle_endtag,
+            "d": parser.handle_data,
+        }
+        try:
+            for kind, arg in events:
+                handle[kind](arg)
+            parser._flush()
+        except Exception:
+            pass  # keep whatever blocks were collected before the error
+    else:
+        if engine == "fast":
+            raise ValueError("fast tokenizer bailed on this input")
+        try:
+            parser.feed(raw)
+            parser.close()
+        except Exception:
+            pass  # keep whatever blocks were collected before the error
 
     blocks = parser.blocks
     kept: List[Tuple[str, str]] = []  # (tag, text)
