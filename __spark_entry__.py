@@ -377,6 +377,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return T.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
     q["text_fingerprint"] = text_fingerprint
 
+    def text_winnow_fingerprint(spark, sf_dir):  # rolling-hash op: rows-only
+        return (
+            T.winnow_fingerprint(_docs(spark, sf_dir))
+            .select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
+            .orderBy("doc_id")
+        )
+    q["text_winnow_fingerprint"] = text_winnow_fingerprint
+
     # ---- multimodal -----------------------------------------------------------
     def media_metadata(spark, sf_dir):
         return M.media_metadata(_pages(spark, sf_dir)).orderBy("url")

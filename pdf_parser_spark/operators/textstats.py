@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "normalized", "token_count", "quality_score", "lang_id", "fingerprint",
-    "LANG_MARKERS",
+    "winnow_fingerprint", "LANG_MARKERS",
 ]
 
 
@@ -94,6 +94,69 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("lang").alias("lang_declared"),
         pred.alias("lang_pred"),
     )
+
+
+def winnow_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): rolling
+    Rabin-Karp hash over character k-grams, then the minimum hash per sliding
+    window (rightmost on ties) — the standard public local-fingerprinting
+    scheme behind MOSS. Vectorized numpy Pandas UDF (the rolling recurrence is
+    inherently sequential per doc but vectorizes across the k-gram axis).
+
+    Returns (id, fingerprints ARRAY<BIGINT>) — overlap of fingerprint sets
+    localizes shared substrings, which plain sha256/minhash cannot.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    base = np.uint64(1000003)
+    mask = np.uint64((1 << 61) - 1)
+
+    # no annotations: pandas/numpy are function-local, so stringified
+    # annotations (PEP 563 module) would not resolve during UDF inspection
+    @F.pandas_udf(ArrayType(LongType()))
+    def winnow(texts):
+        base_pow = base ** np.uint64(k - 1)
+        out = []
+        for t in texts:
+            s = " ".join(("" if t is None else str(t)).lower().split())
+            if len(s) < k:
+                out.append([])
+                continue
+            codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            codes = codes.astype(np.uint64)
+            n = len(codes) - k + 1
+            # rolling hash h[i+1] = (h[i] - c[i]*base^(k-1)) * base + c[i+k]
+            h = np.uint64(0)
+            hashes = np.empty(n, dtype=np.uint64)
+            for j in range(k):
+                h = h * base + codes[j]
+            hashes[0] = h
+            for i in range(1, n):
+                h = (h - codes[i - 1] * base_pow) * base + codes[i + k - 1]
+                hashes[i] = h
+            hashes &= mask
+            if n <= window:
+                sel = {int(hashes.min())}
+            else:
+                # min per sliding window, rightmost occurrence on ties
+                idx = np.arange(n - window + 1)
+                windows = np.lib.stride_tricks.sliding_window_view(hashes, window)
+                rev = windows[:, ::-1]
+                amin = window - 1 - rev.argmin(axis=1)  # rightmost min
+                sel = set((idx + amin).tolist())
+                sel = {int(hashes[i]) for i in sel}
+            out.append(sorted(sel))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), winnow(F.col(text_col)).alias("fingerprints"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -141,3 +141,31 @@ class TestMultimodalExt:
 
         with pytest.raises(NotImplementedError):
             decode_image(b"\xff\xd8\xff fake jpeg")
+
+
+class TestWinnowFingerprint:
+    def test_reflow_invariance_and_locality(self, spark):
+        from pdf_parser_spark.operators.textstats import winnow_fingerprint
+
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "THE  quick   brown fox jumps over the lazy dog"),  # reflow
+            (2, "a completely different sentence with no overlap whatsoever"),
+            (3, "the quick brown fox jumps over the lazy dog and then sleeps"),
+            (4, "xy"),      # shorter than k -> empty
+            (5, None),      # null -> empty
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r.doc_id: r.fingerprints for r in winnow_fingerprint(df).collect()}
+        assert got[0] == got[1]                       # normalization-invariant
+        assert not set(got[0]) & set(got[2])          # unrelated: no overlap
+        assert set(got[0]) <= set(got[3])             # shared prefix localizes
+        assert got[4] == [] and got[5] == []
+
+    def test_deterministic_across_runs(self, spark):
+        from pdf_parser_spark.operators.textstats import winnow_fingerprint
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+        a = {r.doc_id: r.fingerprints for r in winnow_fingerprint(docs).collect()}
+        b = {r.doc_id: r.fingerprints for r in winnow_fingerprint(docs).collect()}
+        assert a == b
