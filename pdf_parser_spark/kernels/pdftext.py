@@ -416,9 +416,121 @@ def decode_stream(stream: StreamObj, doc: Optional[PDFDocument] = None) -> bytes
             if len(hx) % 2:
                 hx += b"0"
             data = bytes.fromhex(hx.decode("ascii"))
+        elif f == "ASCII85Decode":
+            data = _ascii85_decode(data)
+        elif f == "RunLengthDecode":
+            data = _runlength_decode(data)
+        elif f == "LZWDecode":
+            data = _lzw_decode(data, int(resolve(p.get("EarlyChange", 1)) or 0))
+            pred = int(resolve(p.get("Predictor", 1)) or 1)
+            if pred >= 10:
+                data = _apply_png_predictor(
+                    data,
+                    int(resolve(p.get("Colors", 1)) or 1),
+                    int(resolve(p.get("BitsPerComponent", 8)) or 8),
+                    int(resolve(p.get("Columns", 1)) or 1),
+                )
         else:
             raise PDFProcessingError(f"unsupported stream filter: {f}")
     return data
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (PDF 1.7 §7.4.3): base-85 groups of 5 chars -> 4 bytes,
+    'z' shorthand for four zero bytes, '~>' terminator, whitespace ignored."""
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    out = bytearray()
+    group: List[int] = []
+    for c in data:
+        if c in _WHITESPACE:
+            continue
+        if c == 0x7A:  # 'z'
+            if group:
+                raise PDFProcessingError("ASCII85: z inside group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise PDFProcessingError("ASCII85: invalid character")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            n = 0
+            for g in group:
+                n = n * 85 + g
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise PDFProcessingError("ASCII85: lone trailing character")
+        k = len(group)
+        n = 0
+        for g in group + [84] * (5 - k):
+            n = n * 85 + g
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (PDF 1.7 §7.4.5): length byte L<128 copies L+1 bytes,
+    L>128 repeats the next byte 257-L times, L==128 is EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i : i + length + 1]
+            i += length + 1
+        else:
+            if i >= n:
+                break
+            out += bytes([data[i]]) * (257 - length)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode (PDF 1.7 §7.4.4 / TIFF variant): 8-bit samples, variable
+    9..12-bit codes MSB-first, Clear=256, EOD=257; code width bumps one code
+    early when EarlyChange=1 (the default)."""
+    CLEAR, EOD = 256, 257
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: Optional[bytes] = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == EOD:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise PDFProcessingError("LZW: invalid code")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) + (1 if early_change else 0) >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
 
 
 # --------------------------------------------------------------------------
