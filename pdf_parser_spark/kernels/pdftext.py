@@ -548,6 +548,74 @@ _WINANSI_DIFF = {
     0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
 }
 
+# Adobe Glyph List subset (public AGL 2.0) covering the names seen in
+# practice for Latin-script simple fonts; uniXXXX / uXXXXXX names are
+# handled programmatically in _glyphname_to_uni.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "degree": "°", "copyright": "©", "registered": "®",
+    "trademark": "™", "Euro": "€", "sterling": "£",
+    "yen": "¥", "cent": "¢", "section": "§",
+    "paragraph": "¶", "dagger": "†", "daggerdbl": "‡",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "atilde": "ã", "adieresis": "ä", "aring": "å",
+    "ae": "æ", "ccedilla": "ç", "egrave": "è",
+    "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î",
+    "idieresis": "ï", "ntilde": "ñ", "ograve": "ò",
+    "oacute": "ó", "ocircumflex": "ô", "otilde": "õ",
+    "odieresis": "ö", "oslash": "ø", "ugrave": "ù",
+    "uacute": "ú", "ucircumflex": "û", "udieresis": "ü",
+    "yacute": "ý", "ydieresis": "ÿ", "szlig": "ß",
+    "Agrave": "À", "Aacute": "Á", "Adieresis": "Ä",
+    "Aring": "Å", "AE": "Æ", "Ccedilla": "Ç",
+    "Egrave": "È", "Eacute": "É", "Ntilde": "Ñ",
+    "Odieresis": "Ö", "Oslash": "Ø", "Udieresis": "Ü",
+    "lslash": "ł", "Lslash": "Ł", "zacute": "ź",
+    "Zacute": "Ź", "zdotaccent": "ż", "Zdotaccent": "Ż",
+    "sacute": "ś", "Sacute": "Ś", "cacute": "ć",
+    "Cacute": "Ć", "nacute": "ń", "Nacute": "Ń",
+    "aogonek": "ą", "Aogonek": "Ą", "eogonek": "ę",
+    "Eogonek": "Ę",
+}
+
+
+def _glyphname_to_uni(name: str) -> str:
+    """Glyph name -> unicode per the public AGL algorithm: explicit list,
+    then uniXXXX[XXXX] / uXXXX..XXXXXX hex forms, then single-char names."""
+    if name in _AGL:
+        return _AGL[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return "".join(
+                chr(int(name[i : i + 4], 16)) for i in range(3, len(name) - 3, 4)
+            )
+        except ValueError:
+            return ""
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return ""
+    if len(name) == 1:
+        return name
+    return ""
+
+
 _HEX_TOKEN = re.compile(rb"<([0-9A-Fa-f]+)>")
 
 
@@ -623,13 +691,14 @@ def _parse_tounicode(raw: bytes) -> Dict[int, str]:
 class Font:
     """Decoded per-font state: code size, unicode map, advance widths."""
 
-    __slots__ = ("two_byte", "tounicode", "widths", "default_width")
+    __slots__ = ("two_byte", "tounicode", "widths", "default_width", "differences")
 
     def __init__(self) -> None:
         self.two_byte = False
         self.tounicode: Dict[int, str] = {}
         self.widths: Dict[int, float] = {}
         self.default_width = 0.5
+        self.differences: Dict[int, str] = {}  # /Encoding /Differences
 
     def decode(self, s: bytes) -> Iterator[Tuple[int, str, float]]:
         """Yield (code, unicode_text, advance_in_text_space) per glyph."""
@@ -646,6 +715,9 @@ class Font:
         if u is not None:
             return u
         if not self.two_byte:
+            u = self.differences.get(code)
+            if u is not None:
+                return u
             if code in _WINANSI_DIFF:
                 return _WINANSI_DIFF[code]
             return bytes([code]).decode("latin-1")
@@ -675,6 +747,18 @@ def _load_font(doc: PDFDocument, fdict: Dict[str, Any]) -> Font:
                 if isinstance(w, list):
                     _parse_cid_widths(doc, w, font.widths)
     else:
+        enc = doc.resolve(fdict.get("Encoding"))
+        if isinstance(enc, dict):
+            diffs = doc.resolve(enc.get("Differences"))
+            if isinstance(diffs, list):
+                code = 0
+                for item in diffs:
+                    item = doc.resolve(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, str):
+                        font.differences[code] = _glyphname_to_uni(item)
+                        code += 1
         first = doc.resolve(fdict.get("FirstChar"))
         widths = doc.resolve(fdict.get("Widths"))
         if isinstance(first, (int, float)) and isinstance(widths, list):

@@ -159,3 +159,64 @@ class TestFilterChain:
         payload = b"stream payload with repeats repeats repeats"
         s = StreamObj({"Filter": "LZWDecode"}, _lzw_encode(payload))
         assert decode_stream(s) == payload
+
+
+def _mini_pdf_with_differences(content: bytes, differences: bytes) -> bytes:
+    """Hand-built single-page PDF with a /Differences-encoded simple font
+    and no ToUnicode CMap (the pre-Unicode-era encoding path)."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"STREAM",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /FirstChar 32 /LastChar 255 /Encoding << /Type /Encoding"
+        b" /Differences [ " + differences + b" ] >> >>",
+    ]
+    out = bytearray(b"%PDF-1.7\n")
+    offsets = []
+    for n, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        if body == b"STREAM":
+            out += b"%d 0 obj\n<< /Length %d >>\nstream\n" % (n, len(content))
+            out += content + b"\nendstream\nendobj\n"
+        else:
+            out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1, xref)
+    return bytes(out)
+
+
+class TestDifferencesEncoding:
+    def test_differences_override_decoding(self):
+        from pdf_parser_spark.kernels.pdftext import extract_text
+
+        pdf = _mini_pdf_with_differences(
+            b"BT /F1 11 Tf 72 760 Td (caf\x82 na\x83ve) Tj ET",
+            b"130 /eacute 131 /idieresis",
+        )
+        assert extract_text(pdf) == "café naïve"
+
+    def test_uniXXXX_names(self):
+        from pdf_parser_spark.kernels.pdftext import extract_text
+
+        pdf = _mini_pdf_with_differences(
+            b"BT /F1 11 Tf 72 760 Td (x\x82y) Tj ET",
+            b"130 /uni0141",  # LATIN CAPITAL LETTER L WITH STROKE
+        )
+        assert extract_text(pdf) == "xŁy"
+
+    def test_glyphname_mapping_rules(self):
+        from pdf_parser_spark.kernels.pdftext import _glyphname_to_uni
+
+        assert _glyphname_to_uni("eacute") == "é"
+        assert _glyphname_to_uni("uni00E9") == "é"
+        assert _glyphname_to_uni("u00E9") == "é"
+        assert _glyphname_to_uni("uni00480065") == "He"
+        assert _glyphname_to_uni("a") == "a"
+        assert _glyphname_to_uni("notaglyphname") == ""
