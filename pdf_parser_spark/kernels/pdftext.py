@@ -231,8 +231,42 @@ class PDFDocument:
             raise PDFProcessingError("missing %PDF header")
         self.data = data
         self.objects: Dict[int, Any] = {}
+        self._check_encryption()
         self._scan_objects()
         self._load_object_streams()
+
+    def _check_encryption(self) -> None:
+        """Refuse encrypted documents with a clear error (PDF 1.7 §7.6):
+        /Encrypt lives in the trailer dict (classic xref) or the xref-stream
+        dict. Without it, streams would inflate to garbage and surface as a
+        confusing no-text error."""
+        pos = 0
+        while True:
+            t = self.data.find(b"trailer", pos)
+            if t < 0:
+                break
+            try:
+                d, _ = _parse_object(self.data, t + 7)
+                if isinstance(d, dict) and "Encrypt" in d:
+                    raise PDFProcessingError("encrypted PDF is not supported")
+            except PDFProcessingError:
+                raise
+            except Exception:
+                pass
+            pos = t + 7
+        # xref-stream trailers: `/Type /XRef ... /Encrypt N 0 R`
+        for m in re.finditer(rb"/Type\s*/XRef", self.data):
+            start = self.data.rfind(b"<<", 0, m.start())
+            if start < 0:
+                continue
+            try:
+                d, _ = _parse_object(self.data, start)
+                if isinstance(d, dict) and "Encrypt" in d:
+                    raise PDFProcessingError("encrypted PDF is not supported")
+            except PDFProcessingError:
+                raise
+            except Exception:
+                continue
 
     # -- object table ------------------------------------------------------
     def _scan_objects(self) -> None:
@@ -882,16 +916,38 @@ def _page_glyphs(doc: PDFDocument, page: Dict[str, Any]) -> List[Tuple[float, fl
                 break
             parent = doc.resolve(parent.get("Parent"))
             hops += 1
-    font_dicts = doc.resolve(res.get("Font")) if isinstance(res, dict) else {}
+    glyphs: List[Tuple[float, float, float, str]] = []
+    _run_content(doc, data, res if isinstance(res, dict) else {}, _IDENTITY, glyphs, 0)
+    return glyphs
+
+
+def _fonts_of(doc: PDFDocument, res: Dict[str, Any]) -> Dict[str, Font]:
+    font_dicts = doc.resolve(res.get("Font"))
     fonts: Dict[str, Font] = {}
     if isinstance(font_dicts, dict):
         for fname, fref in font_dicts.items():
             fobj = doc.resolve(fref)
             if isinstance(fobj, dict):
                 fonts[fname] = _load_font(doc, fobj)
+    return fonts
 
-    glyphs: List[Tuple[float, float, float, str]] = []
-    ctm: Matrix = _IDENTITY
+
+def _run_content(
+    doc: PDFDocument,
+    data: bytes,
+    res: Dict[str, Any],
+    ctm0: Matrix,
+    glyphs: List[Tuple[float, float, float, str]],
+    depth: int,
+) -> None:
+    """Interpret one content stream (page or Form XObject) into `glyphs`.
+
+    `Do` of a /Subtype /Form recurses with formMatrix x current ctm and the
+    form's own /Resources (falling back to the caller's), depth-limited
+    against cyclic forms.
+    """
+    fonts = _fonts_of(doc, res)
+    ctm: Matrix = ctm0
     gstack: List[Matrix] = []
     st = _TextState()
     stack: List[Any] = []
@@ -979,10 +1035,29 @@ def _page_glyphs(doc: PDFDocument, page: Dict[str, Any]) -> List[Tuple[float, fl
             elif op == "Q":
                 if gstack:
                     ctm = gstack.pop()
+            elif op == "Do" and stack and depth < 8:
+                xobjs = doc.resolve(res.get("XObject"))
+                xo = doc.resolve(xobjs.get(str(stack[-1]))) if isinstance(xobjs, dict) else None
+                if isinstance(xo, StreamObj) and xo.sdict.get("Subtype") == "Form":
+                    try:
+                        inner = decode_stream(xo, doc)
+                        mtx = doc.resolve(xo.sdict.get("Matrix"))
+                        m: Matrix = (
+                            tuple(float(v) for v in mtx)  # type: ignore[assignment]
+                            if isinstance(mtx, list) and len(mtx) == 6
+                            else _IDENTITY
+                        )
+                        inner_res = doc.resolve(xo.sdict.get("Resources"))
+                        _run_content(
+                            doc, inner,
+                            inner_res if isinstance(inner_res, dict) else res,
+                            _mmul(m, ctm), glyphs, depth + 1,
+                        )
+                    except Exception:
+                        pass  # a broken form never kills the page
         except (TypeError, ValueError, IndexError):
             pass
         stack.clear()
-    return glyphs
 
 
 # --------------------------------------------------------------------------

@@ -220,3 +220,67 @@ class TestDifferencesEncoding:
         assert _glyphname_to_uni("uni00480065") == "He"
         assert _glyphname_to_uni("a") == "a"
         assert _glyphname_to_uni("notaglyphname") == ""
+
+
+class TestFormXObjectAndEncryption:
+    def _pdf_with_form(self) -> bytes:
+        page_content = b"BT /F1 11 Tf 72 760 Td (on the page) Tj ET /X1 Do"
+        form_content = b"BT /F1 11 Tf 0 0 Td (inside the form) Tj ET"
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R"
+            b" /Resources << /Font << /F1 5 0 R >> /XObject << /X1 6 0 R >> >> >>",
+            (b"STREAM", page_content, b""),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /FirstChar 32 /LastChar 255 >>",
+            (b"STREAM", form_content,
+             b"/Type /XObject /Subtype /Form /Matrix [1 0 0 1 72 700] "),
+        ]
+        out = bytearray(b"%PDF-1.7\n")
+        offsets = []
+        for n, body in enumerate(objs, 1):
+            offsets.append(len(out))
+            if isinstance(body, tuple):
+                _, content, extra = body
+                out += b"%d 0 obj\n<< %s/Length %d >>\nstream\n" % (n, extra, len(content))
+                out += content + b"\nendstream\nendobj\n"
+            else:
+                out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+        xref = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+            len(objs) + 1, xref)
+        return bytes(out)
+
+    def test_form_xobject_text_extracted(self):
+        from pdf_parser_spark.kernels.pdftext import extract_text
+
+        text = extract_text(self._pdf_with_form())
+        assert "on the page" in text
+        assert "inside the form" in text
+        # the form matrix places its text at y=700, below the page line
+        assert text.index("on the page") < text.index("inside the form")
+
+    def test_cyclic_form_terminates(self):
+        # a form that Do's itself must hit the depth limit, not recurse forever
+        from pdf_parser_spark.kernels.pdftext import extract_text
+
+        pdf = self._pdf_with_form().replace(
+            b"BT /F1 11 Tf 0 0 Td (inside the form) Tj ET",
+            b"BT /F1 11 Tf 0 0 Td (inside the fo) Tj ET /X1 Do    ",
+        )
+        assert "inside the fo" in extract_text(pdf)
+
+    def test_encrypted_pdf_clear_error(self):
+        from pdf_parser_spark.kernels.pdfgen import build_pdf
+        from pdf_parser_spark.kernels.pdftext import (
+            PDFProcessingError, extract_text,
+        )
+
+        pdf = build_pdf([["secret"]], font_mode="simple")
+        enc = pdf.replace(b"/Root", b"/Encrypt 9 0 R /Root")
+        with pytest.raises(PDFProcessingError, match="encrypted"):
+            extract_text(enc)
