@@ -1,3 +1,3 @@
-from .stream import stream_extract, stream_status_counts
+from .stream import stream_extract, stream_host_stats, stream_status_counts
 
-__all__ = ["stream_extract", "stream_status_counts"]
+__all__ = ["stream_extract", "stream_host_stats", "stream_status_counts"]

@@ -62,3 +62,36 @@ class TestStreamExtract:
         assert total == 100  # sf0.001 corpus size; every row lands in a window
         assert {r.status for r in rows} == {"ok", "error"}
         assert sum(r.n for r in rows if r.status == "error") == 16
+
+
+class TestStatefulHostStats:
+    def test_state_accumulates_across_microbatches(self, spark, corpus_001, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pdf_parser_spark.pipeline import load_pages
+        from pdf_parser_spark.streaming import stream_host_stats
+
+        # maxFilesPerTrigger=2 over 8 shards forces multiple micro-batches,
+        # so per-host state MUST carry across batches to reach batch totals
+        q = stream_host_stats(
+            spark, corpus_001, str(tmp_path / "ck_host"), max_files_per_trigger=2
+        )
+        q.awaitTermination(120)
+        # update-mode memory sink: the LAST row per host is the running total
+        got = {
+            r.host: (r.docs, r.bytes)
+            for r in spark.sql(
+                "select * from host_stats order by docs"
+            ).collect()
+        }
+        want = {
+            r.host: (r.docs, r.bytes)
+            for r in load_pages(spark, corpus_001)
+            .groupBy(F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"))
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("bytes"),
+            )
+            .collect()
+        }
+        assert got == want
