@@ -27,15 +27,25 @@ from pyspark.sql.types import LongType
 from .textstats import normalized
 
 __all__ = [
-    "md5_hash60", "exact_dedup", "word_shingles", "minhash_signatures",
-    "minhash_lsh_pairs", "jaccard_pairs", "simhash64", "simhash_dups",
-    "connected_components", "dup_clusters",
+    "md5_hash60", "xxhash60", "exact_dedup", "word_shingles",
+    "minhash_signatures", "minhash_lsh_pairs", "jaccard_pairs", "simhash64",
+    "simhash_dups", "connected_components", "dup_clusters",
 ]
 
 
 def md5_hash60(col: Column) -> Column:
     """Deterministic 60-bit hash portable across Spark and DuckDB."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def xxhash60(col: Column) -> Column:
+    """Production hash: xxhash64 (JVM-native, ~20x cheaper than md5) masked
+    to the same 60-bit domain. Use for real corpora; md5_hash60 exists so
+    the DuckDB oracle can reproduce signatures bit-for-bit."""
+    return F.xxhash64(col).bitwiseAND(F.lit((1 << 60) - 1))
+
+
+_HASH_FNS = {"md5": md5_hash60, "xxhash": xxhash60}
 
 
 # --------------------------------------------------------------------------
@@ -78,22 +88,24 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
-                       num_hashes: int = 8) -> DataFrame:
+                       num_hashes: int = 8, hash_fn: str = "md5") -> DataFrame:
     """K-permutation MinHash: sig_i = min over shingles of hash60(shingle#i).
 
     One explode + one groupBy with K min() aggregates — all JVM expressions,
     map-side combinable, exactly one shuffle.
     """
+    h = _HASH_FNS[hash_fn]
     sh = word_shingles(df, text_col, id_col, n)
     aggs = [
-        F.min(md5_hash60(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh_{i}")
+        F.min(h(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      n: int = 3, num_hashes: int = 16, bands: int = 4) -> DataFrame:
+                      n: int = 3, num_hashes: int = 16, bands: int = 4,
+                      hash_fn: str = "md5") -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding over MinHash signatures.
 
     Documents sharing any band key become a candidate pair; at scale each
@@ -101,7 +113,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]

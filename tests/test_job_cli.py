@@ -1,0 +1,56 @@
+"""The spark-submit job entry (jobs/extract_job.py) driven as a subprocess —
+the deployment surface users actually launch."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    from pdf_parser_spark.corpus import ensure_corpus
+
+    return ensure_corpus(0.001)
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, "jobs/extract_job.py", *args],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+
+
+class TestExtractJobCli:
+    def test_table_source_end_to_end(self, corpus, tmp_path):
+        out = str(tmp_path / "out")
+        r = _run(["--input", corpus, "--output", out, "--resume"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        counts = dict(duckdb.sql(
+            f"SELECT status, count(*) FROM read_parquet('{out}/*.parquet') GROUP BY 1"
+        ).fetchall())
+        assert counts == {"ok": 84, "error": 16}
+
+    def test_resume_skips_committed(self, corpus, tmp_path):
+        out = str(tmp_path / "out2")
+        _run(["--input", corpus, "--output", out, "--resume"])
+        r = _run(["--input", corpus, "--output", out, "--resume"])
+        assert r.returncode == 0
+        assert "'docs': 0" in r.stderr  # second run processes nothing
+        n = duckdb.sql(
+            f"SELECT count(DISTINCT url), count(*) FROM read_parquet('{out}/*.parquet')"
+        ).fetchone()
+        assert n[0] == n[1] == 100  # no duplicate urls after the rerun
+
+    def test_lineage_output(self, corpus, tmp_path):
+        out, lin = str(tmp_path / "out3"), str(tmp_path / "lineage")
+        r = _run(["--input", corpus, "--output", out, "--lineage-output", lin])
+        assert r.returncode == 0
+        rows = duckdb.sql(
+            f"SELECT sum(docs), sum(ok), sum(errors) FROM read_parquet('{lin}/*.parquet')"
+        ).fetchone()
+        assert tuple(int(x) for x in rows) == (100, 84, 16)

@@ -169,3 +169,37 @@ class TestWinnowFingerprint:
         a = {r.doc_id: r.fingerprints for r in winnow_fingerprint(docs).collect()}
         b = {r.doc_id: r.fingerprints for r in winnow_fingerprint(docs).collect()}
         assert a == b
+
+
+class TestMinhashFastHash:
+    def test_xxhash_variant_finds_same_dup_structure(self, spark):
+        # values differ (different hash family) but the near-dup pair set on
+        # clear duplicates must agree with the oracle-portable md5 variant
+        from pdf_parser_spark.operators.dedup import minhash_lsh_pairs
+
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "an entirely different document about physical plan selection"),
+            (3, "an entirely different document about physical plan selection"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        md5_pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df).collect()}
+        xx_pairs = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(df, hash_fn="xxhash").collect()
+        }
+        assert {(0, 1), (2, 3)} <= md5_pairs
+        assert {(0, 1), (2, 3)} <= xx_pairs
+
+    def test_hash_domain_is_60_bit_nonnegative(self, spark):
+        from pdf_parser_spark.operators.dedup import minhash_signatures
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta")], "doc_id bigint, text string"
+        )
+        for fn in ("md5", "xxhash"):
+            row = minhash_signatures(df, num_hashes=4, hash_fn=fn).collect()[0]
+            for i in range(4):
+                v = row[f"mh_{i}"]
+                assert 0 <= v < (1 << 60)
