@@ -17,7 +17,7 @@ driver's value-hash oracle can check MinHash signatures exactly.
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -105,12 +105,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       n: int = 3, num_hashes: int = 16, bands: int = 4,
-                      hash_fn: str = "md5") -> DataFrame:
+                      hash_fn: str = "md5",
+                      max_bucket: Optional[int] = None) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding over MinHash signatures.
 
     Documents sharing any band key become a candidate pair; at scale each
     band bucket is tiny, so the self-join explodes only real collisions.
     Returns distinct (id_a, id_b) with id_a < id_b.
+
+    max_bucket: skew guard for 10^12-doc corpora — a band bucket holding M
+    members yields M^2/2 candidate pairs, so one degenerate bucket (e.g. all
+    empty documents share a signature) can dominate the whole job. Buckets
+    larger than max_bucket are dropped; their members are by construction
+    near-identical to thousands of others, so exact_dedup (one cheap hash
+    aggregate) already collapses them. None = no cap (oracle-exact mode).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
@@ -126,6 +134,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         )
     banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
     banded = banded.select(id_col, "bk.band", "bk.key")
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bsz"))
+        banded = (
+            banded.join(sizes.where(F.col("_bsz") <= max_bucket), ["band", "key"])
+            .drop("_bsz")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -144,13 +158,25 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 3, threshold: float = 0.6) -> DataFrame:
+                  n: int = 3, threshold: float = 0.6,
+                  max_df: Optional[int] = None) -> DataFrame:
     """Exact n-gram Jaccard similarity via an inverted shingle index.
 
     common(a,b) from the self-join on shingle; |A|,|B| from a per-doc count;
     J = common / (|A| + |B| - common). Only co-occurring pairs are scored.
+
+    max_df: skew guard — a shingle appearing in M documents contributes
+    M^2/2 join rows, so stop-shingles ("of the and") dominate web corpora.
+    Shingles with document frequency > max_df are dropped from the index
+    BEFORE the self-join; |A|/|B| are computed on the same filtered shingle
+    sets, so the similarity stays a true Jaccard over the pruned universe
+    (the standard prefix-filtering compromise). None = exact (oracle mode).
     """
-    sh = word_shingles(df, text_col, id_col, n).cache()
+    sh = word_shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(dfreq.where(F.col("_df") <= max_df), "shingle").drop("_df")
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     l, r = sh.alias("l"), sh.alias("r")
     common = (

@@ -203,3 +203,40 @@ class TestMinhashFastHash:
             for i in range(4):
                 v = row[f"mh_{i}"]
                 assert 0 <= v < (1 << 60)
+
+
+class TestDedupSkewGuards:
+    def test_lsh_bucket_cap_drops_degenerate_bucket(self, spark):
+        from pdf_parser_spark.operators.dedup import minhash_lsh_pairs
+
+        # 6 identical docs -> one bucket of 6 (15 pairs); 2 identical docs
+        # -> bucket of 2 (1 pair). Cap at 3 keeps only the small cluster.
+        rows = [(i, "same text repeated for everyone in this degenerate group")
+                for i in range(6)]
+        rows += [(10, "a small pair of matching documents right here"),
+                 (11, "a small pair of matching documents right here")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        uncapped = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df).collect()}
+        capped = {(r.id_a, r.id_b)
+                  for r in minhash_lsh_pairs(df, max_bucket=3).collect()}
+        assert (10, 11) in uncapped and len(uncapped) == 15 + 1
+        assert capped == {(10, 11)}
+
+    def test_jaccard_max_df_prunes_stop_shingles(self, spark):
+        from pdf_parser_spark.operators.dedup import jaccard_pairs
+
+        # every doc shares the same stop-shingle prefix; only 0/1 truly match
+        stop = "of the and in a"
+        rows = [
+            (0, f"{stop} unique matching tail for the pair here"),
+            (1, f"{stop} unique matching tail for the pair here"),
+            (2, f"{stop} totally different content altogether now"),
+            (3, f"{stop} yet another unrelated document body text"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        pruned = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_pairs(df, threshold=0.5, max_df=2).collect()
+        }
+        assert set(pruned) == {(0, 1)}
+        assert pruned[(0, 1)] == 1.0  # identical over the pruned universe
