@@ -52,11 +52,17 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from pdf_parser_spark.session import fan_out
+
+    # single-file dimension tables scan as ONE partition; fan_out restores
+    # cluster-wide parallelism for the CPU-heavy dedup/textstats operators
+    return fan_out(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from pdf_parser_spark.session import fan_out
+
+    return fan_out(spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
