@@ -36,6 +36,12 @@ from pdf_parser_spark.pipeline import extract_pipeline, load_pages  # noqa: E402
 CORPUS_001 = "/root/repo/.corpus/sf0.001"
 CORPUS_01 = "/root/repo/.corpus/sf0.01"  # oracle scale: driver compares at sf0.01
 
+# Generate both corpora at import: the DuckDB oracle reads these parquet
+# paths directly and may run BEFORE any Spark query triggers lazy
+# generation. Deterministic and idempotent (~2 s total, no-op once built).
+ensure_corpus(0.001)
+ensure_corpus(0.01)
+
 MAX_SIZE = 50 * 1024 * 1024
 MIN_SIZE = 100
 
