@@ -33,8 +33,12 @@ from pdf_parser_spark.operators import similarity as S  # noqa: E402
 from pdf_parser_spark.operators import textstats as T  # noqa: E402
 from pdf_parser_spark.pipeline import extract_pipeline, load_pages  # noqa: E402
 
-CORPUS_001 = "/root/repo/.corpus/sf0.001"
-CORPUS_01 = "/root/repo/.corpus/sf0.01"  # oracle scale: driver compares at sf0.01
+# corpus root follows the checkout (corpus.py derives it from the package
+# location), so the oracle paths stay correct wherever the repo lives
+from pdf_parser_spark.corpus import corpus_dir_for  # noqa: E402
+
+CORPUS_001 = corpus_dir_for(0.001)
+CORPUS_01 = corpus_dir_for(0.01)  # oracle scale: driver compares at sf0.01
 
 # Generate both corpora at import: the DuckDB oracle reads these parquet
 # paths directly and may run BEFORE any Spark query triggers lazy
