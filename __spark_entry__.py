@@ -401,6 +401,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_winnow_fingerprint"] = text_winnow_fingerprint
 
+    # ---- cleaning (C4/Gopher/RefinedWeb-style) -------------------------------
+    def clean_canonical_url(spark, sf_dir):
+        from pdf_parser_spark.operators import cleaning as C
+        return (
+            C.canonicalize_url(_pages(spark, sf_dir))
+            .select("url", "canonical_url").orderBy("url")
+        )
+    q["clean_canonical_url"] = clean_canonical_url
+
+    def clean_scrub_pii(spark, sf_dir):
+        from pdf_parser_spark.operators import cleaning as C
+        p = _pages(spark, sf_dir).where(F.trim("text") != "")
+        return C.scrub_pii(p).select("url", "text_scrubbed", "n_pii").orderBy("url")
+    q["clean_scrub_pii"] = clean_scrub_pii
+
+    def clean_repetition_flags(spark, sf_dir):
+        from pdf_parser_spark.operators import cleaning as C
+        return C.repetition_flags(_docs(spark, sf_dir)).orderBy("doc_id")
+    q["clean_repetition_flags"] = clean_repetition_flags
+
+    def clean_domain_stats(spark, sf_dir):
+        from pdf_parser_spark.operators import cleaning as C
+        return C.domain_stats(_pages(spark, sf_dir)).orderBy("host")
+    q["clean_domain_stats"] = clean_domain_stats
+
     # ---- multimodal -----------------------------------------------------------
     def media_metadata(spark, sf_dir):
         return M.media_metadata(_pages(spark, sf_dir)).orderBy("url")
@@ -673,6 +698,65 @@ def oracle_sql() -> dict[str, str]:
         FROM documents ORDER BY doc_id
     """
 
+    o["clean_canonical_url"] = f"""
+        SELECT url,
+          CASE WHEN lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) = '' THEN url
+          ELSE lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) || '://'
+            || regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)), ':(80|443)$', '')
+            || regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^#]*)', 1), '^/$', '')
+          END AS canonical_url
+        FROM {pages} ORDER BY url
+    """
+    # plain variables (brace-doubling applies only to literal f-string text)
+    _email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _phone = r"\+?\d[\d .-]{7,14}\d"
+    _ipv4 = r"\b(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})\b"
+    o["clean_scrub_pii"] = f"""
+        WITH s AS (
+          SELECT url, text,
+            regexp_replace(text, '{_email}', '<EMAIL>', 'g') AS a
+          FROM {pages} WHERE trim(text) <> ''
+        ), s2 AS (
+          SELECT url, text, a, regexp_replace(a, '{_ipv4}', '<IP>', 'g') AS b
+          FROM s
+        )
+        SELECT url, regexp_replace(b, '{_phone}', '<PHONE>', 'g') AS text_scrubbed,
+          length(regexp_extract_all(text, '{_email}'))
+          + length(regexp_extract_all(a, '{_ipv4}'))
+          + length(regexp_extract_all(b, '{_phone}')) AS n_pii
+        FROM s2 ORDER BY url
+    """
+    o["clean_repetition_flags"] = """
+        WITH base AS (
+          SELECT doc_id,
+            list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+            list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words,
+            length(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+            CASE WHEN len(lines) <= 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(lines)) / len(lines)::DOUBLE END AS dlf,
+            CASE WHEN len(words) <= 0 THEN 0.0 ELSE (
+              SELECT max(c)::DOUBLE FROM (
+                SELECT count(*) AS c FROM unnest(words) AS u(w) GROUP BY w
+              )
+            ) / len(words) END AS twf,
+            CASE WHEN len(words) <= 0 THEN 0.0
+                 ELSE n_sym / len(words)::DOUBLE END AS swr
+          FROM base
+        )
+        SELECT doc_id, round(dlf, 6) AS dup_line_frac,
+               round(twf, 6) AS top_word_frac,
+               round(swr, 6) AS symbol_word_ratio,
+               (dlf <= 0.30 AND twf <= 0.20 AND swr <= 0.10) AS keep
+        FROM m ORDER BY doc_id
+    """
+    o["clean_domain_stats"] = f"""
+        SELECT regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)), ':(80|443)$', '') AS host,
+               count(*) AS docs, round(avg(length(text)), 4) AS mean_chars
+        FROM {pages} GROUP BY 1 ORDER BY host
+    """
     o["media_metadata"] = f"""
         SELECT url, COALESCE(octet_length(html), 0) AS n_bytes,
           CASE

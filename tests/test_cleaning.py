@@ -1,0 +1,92 @@
+"""Corpus-cleaning operators (C4/Gopher/RefinedWeb-style public methods)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestCanonicalizeUrl:
+    CASES = [
+        ("HTTPS://Example.COM:443/Path/?q=1#frag", "https://example.com/Path/?q=1"),
+        ("http://a.b:80/", "http://a.b"),
+        ("http://a.b/", "http://a.b"),
+        ("http://a.b/x", "http://a.b/x"),
+        ("https://a.b:8080/x", "https://a.b:8080/x"),  # non-default port kept
+        ("not-a-url", "not-a-url"),                     # pass-through
+    ]
+
+    def test_cases(self, spark):
+        from pdf_parser_spark.operators.cleaning import canonicalize_url
+
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "url string")
+        got = {r.url: r.canonical_url for r in canonicalize_url(df).collect()}
+        for raw, want in self.CASES:
+            assert got[raw] == want, raw
+
+
+class TestScrubPii:
+    def test_masks_and_counts(self, spark):
+        from pdf_parser_spark.operators.cleaning import scrub_pii
+
+        text = (
+            "contact jan.kowalski+x@example.co.uk or call +48 123-456-789; "
+            "server at 192.168.0.1 answered"
+        )
+        df = spark.createDataFrame([(text,), (None,)], "text string")
+        rows = scrub_pii(df).collect()
+        s = rows[0].text_scrubbed
+        assert "<EMAIL>" in s and "<PHONE>" in s and "<IP>" in s
+        assert "example.co.uk" not in s and "192.168.0.1" not in s
+        assert rows[0].n_pii == 3
+        assert rows[1].text_scrubbed is None
+
+    def test_clean_text_untouched(self, spark):
+        from pdf_parser_spark.operators.cleaning import scrub_pii
+
+        text = "a perfectly normal sentence with the year 2024 in it"
+        r = scrub_pii(spark.createDataFrame([(text,)], "text string")).collect()[0]
+        assert r.text_scrubbed == text and r.n_pii == 0
+
+
+class TestRepetitionFlags:
+    def _flags(self, spark, text):
+        from pdf_parser_spark.operators.cleaning import repetition_flags
+
+        df = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+        return repetition_flags(df).collect()[0]
+
+    def test_clean_doc_kept(self, spark):
+        r = self._flags(spark, "one two three four five\nsix seven eight nine ten")
+        assert r.keep and r.dup_line_frac == 0.0 and r.top_word_frac == 0.1
+
+    def test_duplicate_lines_flagged(self, spark):
+        r = self._flags(spark, "same line\n" * 10 + "unique words differ here")
+        assert r.dup_line_frac > 0.3 and not r.keep
+
+    def test_keyword_stuffing_flagged(self, spark):
+        r = self._flags(spark, "buy " * 30 + "now cheap deals")
+        assert r.top_word_frac > 0.2 and not r.keep
+
+    def test_symbol_spam_flagged(self, spark):
+        r = self._flags(spark, "click here ... now ... more ... # # # wow")
+        assert r.symbol_word_ratio > 0.1 and not r.keep
+
+    def test_empty_text_zeroes(self, spark):
+        r = self._flags(spark, "")
+        assert (r.dup_line_frac, r.top_word_frac, r.symbol_word_ratio) == (0.0, 0.0, 0.0)
+
+
+class TestDomainOps:
+    def test_stats_and_filter(self, spark):
+        from pdf_parser_spark.operators.cleaning import domain_filter, domain_stats
+
+        rows = [(f"https://big.site/{i}", "x" * 10) for i in range(5)]
+        rows += [("https://solo.site/1", "y" * 20)]
+        df = spark.createDataFrame(rows, "url string, text string")
+        stats = {r.host: (r.docs, r.mean_chars) for r in domain_stats(df).collect()}
+        assert stats == {"big.site": (5, 10.0), "solo.site": (1, 20.0)}
+        kept = {r.url for r in domain_filter(df, min_docs=2).collect()}
+        assert kept == {f"https://big.site/{i}" for i in range(5)}
+        capped = {r.url for r in domain_filter(df, min_docs=1, max_docs=3).collect()}
+        assert capped == {"https://solo.site/1"}
