@@ -393,6 +393,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return T.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
     q["text_fingerprint"] = text_fingerprint
 
+    def text_bpe_token_counts(spark, sf_dir):  # real BPE tokenizer: rows-only
+        from pdf_parser_spark.operators import bpe as B
+        d = _docs(spark, sf_dir)
+        merges = B.bpe_train(B.word_frequencies(d, top_k=5000), num_merges=200)
+        return B.bpe_token_counts(d, merges).orderBy("doc_id")
+    q["text_bpe_token_counts"] = text_bpe_token_counts
+
     def text_winnow_fingerprint(spark, sf_dir):  # rolling-hash op: rows-only
         return (
             T.winnow_fingerprint(_docs(spark, sf_dir))
