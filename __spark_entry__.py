@@ -393,6 +393,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return T.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
     q["text_fingerprint"] = text_fingerprint
 
+    def text_lm_quality(spark, sf_dir):  # trigram-LM perplexity: rows-only
+        from pdf_parser_spark.operators import lm as L
+        d = _docs(spark, sf_dir)
+        model = L.train_char_trigram_lm(d)
+        return L.lm_quality_flags(d, model).orderBy("doc_id")
+    q["text_lm_quality"] = text_lm_quality
+
     def text_bpe_token_counts(spark, sf_dir):  # real BPE tokenizer: rows-only
         from pdf_parser_spark.operators import bpe as B
         d = _docs(spark, sf_dir)
