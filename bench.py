@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_simhash",              # pandas-UDF simhash
     "ann_bruteforce_topk",        # similarity search baseline
     "text_quality_score",         # text analysis
+    "clean_repetition_flags",     # Gopher-style corpus cleaning
     "media_metadata",             # multimodal sniffing
 ]
 
