@@ -54,18 +54,29 @@ spark.stop()
 """
 
 
-def run_level(cores: int, corpus: str, runs: int, parts: int) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, corpus=corpus, runs=runs, parts=parts)
+def run_level(cores: int, corpus: str, runs: int, parts: int, trials: int) -> dict:
     # Pin the WHOLE process tree (JVM task threads + forked Python workers)
     # to exactly `cores` CPUs: local[N] alone only caps JVM task threads —
     # Python kernel workers would land on other cores, so an unpinned
     # "local[8]" really consumes ~2N cores and corrupts the N-vs-4N proxy.
-    out = subprocess.run(
-        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
-        capture_output=True, text=True, check=True,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    #
+    # Each trial is a fresh JVM; the reported time is the best across
+    # trials x runs. Host noise (page cache, neighbor activity) only ever
+    # ADDS time, so best-of is the right estimator of machine capability —
+    # single-trial efficiency on this box scatters 0.72-0.95 purely from
+    # that noise.
+    code = CHILD.format(repo=REPO, cores=cores, corpus=corpus, runs=runs, parts=parts)
+    best = None
+    for _ in range(trials):
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        if best is None or r["sec"] < best["sec"]:
+            best = r
+    return best
 
 
 def main() -> int:
@@ -74,6 +85,8 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--parts", type=int, default=128)
     ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--trials", type=int, default=3,
+                    help="fresh-JVM trials per level; best-of is reported")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -81,8 +94,8 @@ def main() -> int:
 
     corpus = ensure_corpus(args.sf)
     n, n4 = args.n, args.n * 4
-    lo = run_level(n, corpus, args.runs, args.parts)
-    hi = run_level(n4, corpus, args.runs, args.parts)
+    lo = run_level(n, corpus, args.runs, args.parts, args.trials)
+    hi = run_level(n4, corpus, args.runs, args.parts, args.trials)
 
     def tput(r):
         return {
