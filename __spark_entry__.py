@@ -445,14 +445,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return M.media_metadata(_pages(spark, sf_dir)).orderBy("url")
     q["media_metadata"] = media_metadata
 
-    def media_features(spark, sf_dir):  # stubbed decode: rows-only oracle
-        return M.media_features(_pages(spark, sf_dir)).orderBy("url")
+    # arrays are projected to a CSV of recovered digest bytes: the driver's
+    # canonicalizer sorts on raw column values, and Python lists are
+    # unhashable there (round-1 hard failure) — and the int projection makes
+    # the values exactly reproducible in DuckDB SQL
+    def _bytes_csv(col):
+        return F.array_join(
+            F.transform(
+                col,
+                lambda x: F.round(x.cast("double") * 127.5 + 127.5)
+                .cast("int").cast("string"),
+            ),
+            ",",
+        )
+
+    def media_features(spark, sf_dir):  # decode stubbed; features oracled
+        out = M.media_features(_pages(spark, sf_dir))
+        return out.select(
+            "url", "n_bytes", "feature_dim",
+            _bytes_csv(F.col("features")).alias("features_b"),
+        ).orderBy("url")
     q["media_features"] = media_features
 
-    def media_frame_sample(spark, sf_dir):  # UDTF-shaped fan-out: rows-only
-        return M.frame_sample(_pages(spark, sf_dir), n_frames=4).orderBy(
-            "url", "frame_idx"
-        )
+    def media_frame_sample(spark, sf_dir):  # UDTF-shaped fan-out
+        out = M.frame_sample(_pages(spark, sf_dir), n_frames=4)
+        return out.select(
+            "url", "frame_idx", "offset_frac",
+            _bytes_csv(F.col("frame_features")).alias("features_b"),
+        ).orderBy("url", "frame_idx")
     q["media_frame_sample"] = media_frame_sample
 
     return q
@@ -629,6 +649,54 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY s ORDER BY doc_id
     """
 
+    # SimHash: the Python kernel hashes each distinct lowercase token with
+    # md5 (first 8 bytes, big-endian) precisely so SQL can reproduce the
+    # +1/-1 bit voting — 64 vote aggregates, then sign bits reassembled and
+    # converted to the signed int64 Spark emits (dedup.py:_simhash64_udf)
+    votes = ", ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b}::UHUGEINT ELSE 0::UHUGEINT END"
+        for b in range(64)
+    )
+    simhash_cte = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_filter(
+                   string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS tok
+          FROM documents
+        ), h AS (
+          SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS hv
+          FROM toks
+        ), v AS (
+          SELECT doc_id, {votes} FROM h GROUP BY doc_id
+        ), u AS (
+          SELECT doc_id, ({bits}) AS us FROM v
+        ), ssig AS (
+          SELECT d.doc_id,
+                 COALESCE(CASE WHEN us >= 9223372036854775808::UHUGEINT
+                               THEN (us::HUGEINT - 18446744073709551616)::BIGINT
+                               ELSE us::BIGINT END, 0) AS simhash,
+                 COALESCE(us, 0::UHUGEINT)::UBIGINT AS usim
+          FROM documents d LEFT JOIN u USING (doc_id)
+        )
+    """
+    o["dedup_simhash"] = simhash_cte + "SELECT doc_id, simhash FROM ssig ORDER BY doc_id"
+    o["dedup_simhash_pairs"] = simhash_cte + """
+        , blocks AS (
+          SELECT doc_id, simhash, b.blk, ((usim >> (b.blk * 16)::INT) & 65535) AS key
+          FROM ssig, (SELECT unnest(range(0, 4)) AS blk) b
+        )
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+               bit_count(xor(l.simhash, r.simhash)) AS hamming
+        FROM blocks l JOIN blocks r
+          ON l.blk = r.blk AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= 8
+        ORDER BY id_a, id_b
+    """
+
     o["dedup_ngram_jaccard"] = shingle_cte + """
         , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         common AS (
@@ -770,6 +838,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)), ':(80|443)$', '') AS host,
                count(*) AS docs, round(avg(length(text)), 4) AS mean_chars
         FROM {pages} GROUP BY 1 ORDER BY host
+    """
+    # fake featurizer = sha256 over the lowercase-hex payload (multimodal.py
+    # _fake_features chooses that exact digest input so this DuckDB sha256()
+    # — VARCHAR-only — reproduces every byte); feature_j recovers digest
+    # byte j via round(f*127.5 + 127.5)
+    def fb(expr: str, dim: int) -> str:
+        return "concat_ws(',', " + ", ".join(
+            f"(('0x' || substring(sha256({expr}), {2 * j + 1}, 2))::INT)::VARCHAR"
+            for j in range(dim)
+        ) + ")"
+
+    hexp = "lower(hex(COALESCE(html, ''::BLOB)))"
+    o["media_features"] = f"""
+        SELECT url, COALESCE(octet_length(html), 0) AS n_bytes,
+               16 AS feature_dim, {fb(hexp, 16)} AS features_b
+        FROM {pages} ORDER BY url
+    """
+    o["media_frame_sample"] = f"""
+        WITH p AS (SELECT url, COALESCE(html, ''::BLOB) AS b FROM {pages}),
+        f AS (SELECT unnest(range(0, 4)) AS i),
+        w AS (
+          SELECT p.url, f.i::INT AS frame_idx, (f.i / 4.0)::FLOAT AS offset_frac,
+            substring(lower(hex(p.b)),
+              2 * CAST(floor((f.i / 4.0) * greatest(octet_length(p.b) - 64, 0)) AS BIGINT) + 1,
+              128) AS whex
+          FROM p, f
+        )
+        SELECT url, frame_idx, offset_frac, {fb('whex', 8)} AS features_b
+        FROM w ORDER BY url, frame_idx
     """
     o["media_metadata"] = f"""
         SELECT url, COALESCE(octet_length(html), 0) AS n_bytes,

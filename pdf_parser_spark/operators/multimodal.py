@@ -71,11 +71,17 @@ def decode_image(payload: bytes) -> "np.ndarray":
 
 
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in featurizer: seeded by content digest."""
-    digest = hashlib.sha256(payload or b"").digest()
-    seed = int.from_bytes(digest[:4], "big")
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal(dim).astype(np.float32)
+    """Deterministic stand-in featurizer: digest bytes mapped to [-1, 1].
+
+    The digest is sha256 over the LOWERCASE-HEX rendering of the payload (not
+    the raw bytes) so external SQL engines whose sha256() accepts only strings
+    (DuckDB) can reproduce every value exactly: feature_j recovers digest byte
+    j via round(f*127.5 + 127.5). Repeats the digest for dim > 32.
+    """
+    digest = hashlib.sha256((payload or b"").hex().encode("ascii")).digest()
+    reps = (dim + len(digest) - 1) // len(digest)
+    b = np.frombuffer((digest * reps)[:dim], dtype=np.uint8)
+    return ((b.astype(np.float32) - 127.5) / 127.5).astype(np.float32)
 
 
 FEATURE_SCHEMA = StructType([
