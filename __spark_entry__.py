@@ -309,7 +309,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
     q["w2_label_band_filter"] = w2_label_band_filter
 
-    # ---- S5: JSON export sink rendering (pandas UDF: rows-only oracle) ------
+    # ---- F6: unknown requested fields are skipped, never errors --------------
+    def f6_unknown_field_skip(spark, sf_dir):
+        # reference pin: classic_extractor.py:86-88 via tests/test_extractors.py
+        # :178-184 — requesting an unknown field silently yields nothing
+        import pandas as pd
+
+        from pdf_parser_spark.kernels.fields import canonical_json, extract_fields
+
+        @F.pandas_udf("string")
+        def fj(texts):
+            out = []
+            for t in texts:
+                try:
+                    out.append(canonical_json(extract_fields(
+                        t or "", fields=["nonexistent_field", "policy_number"]
+                    )))
+                except Exception:
+                    out.append(None)
+            return pd.Series(out)
+
+        p = _pages(spark, sf_dir)
+        return (
+            p.where(F.col("url").contains("/feed/") & (F.trim("text") != ""))
+            .select("url", fj(F.col("text")).alias("fields_json"))
+            .orderBy("url")
+        )
+    q["f6_unknown_field_skip"] = f6_unknown_field_skip
+
+    # ---- P7: precompiled pattern config drives extraction --------------------
+    def p7_pattern_precompile(spark, sf_dir):
+        import pandas as pd
+
+        from pdf_parser_spark.kernels.fields import compile_config, extract_fields
+
+        cfg = {"policy": {"patterns": [
+            r"Policyholder[:\s]*([\w-]+)", r"Policy Number[:\s]*([\w-]+)",
+        ]}}
+
+        @F.pandas_udf("string")
+        def pol(texts):
+            compiled = compile_config(cfg)  # P7: compile once per executor batch
+            out = []
+            for t in texts:
+                try:
+                    out.append(extract_fields(t or "", compiled=compiled).get("policy"))
+                except Exception:
+                    out.append(None)
+            return pd.Series(out)
+
+        p = _pages(spark, sf_dir)
+        return (
+            p.where(F.trim("text") != "")
+            .select("url", pol(F.col("text")).alias("policy"))
+            .orderBy("url")
+        )
+    q["p7_pattern_precompile"] = p7_pattern_precompile
+
+    # ---- S6: DDL-on-first-use (idempotent create, schema introspected) -------
+    def s6_ddl_on_first_use(spark, sf_dir):
+        from pdf_parser_spark.sinks import create_output_table
+
+        loc = os.path.join(ensure_corpus(sf_dir), "s6_out")
+        create_output_table(spark, "s6_extractions", loc)
+        create_output_table(spark, "s6_extractions", loc)  # second call: no-op
+        return (
+            spark.sql("DESCRIBE TABLE s6_extractions")
+            .select("col_name", "data_type")
+            .orderBy("col_name")
+        )
+    q["s6_ddl_on_first_use"] = s6_ddl_on_first_use
+
+    # ---- A3: idempotent resume (anti-join against the committed snapshot) ----
+    def a3_idempotent_resume(spark, sf_dir):
+        from pdf_parser_spark.pipeline import resume_against
+
+        p = _pages(spark, sf_dir)
+        committed = p.where(F.col("url").contains("/feed/")).select("url")
+        return resume_against(p, committed).select("url").orderBy("url")
+    q["a3_idempotent_resume"] = a3_idempotent_resume
+
+    # ---- S5: JSON export sink rendering (indent=2 bytes, goldens-oracled) ---
     def s5_json_export(spark, sf_dir):
         from pdf_parser_spark.sinks import json_export
         out = extract_pipeline(_pages(spark, sf_dir))
@@ -582,9 +662,52 @@ def oracle_sql() -> dict[str, str]:
         FROM documents ORDER BY doc_id
     """
 
+    o["f6_unknown_field_skip"] = f"""
+        -- python strip() also removes tab/newline: whitespace-only rows raise
+        -- in the kernel -> NULL; unmatched policy would yield the empty dict
+        SELECT url,
+               CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN NULL
+                    WHEN regexp_extract(text, 'Policy Number[:\\s]*([\\w-]+)', 1) = '' THEN '{{}}'
+                    ELSE '{{"policy_number": "' || regexp_extract(text, 'Policy Number[:\\s]*([\\w-]+)', 1) || '"}}'
+               END AS fields_json
+        FROM {pages} WHERE url LIKE '%/feed/%' AND trim(text) <> '' ORDER BY url
+    """
+    o["p7_pattern_precompile"] = f"""
+        SELECT url, COALESCE(
+            nullif(regexp_extract(text, 'Policyholder[:\\s]*([\\w-]+)', 1), ''),
+            nullif(regexp_extract(text, 'Policy Number[:\\s]*([\\w-]+)', 1), '')
+        ) AS policy
+        FROM {pages} WHERE trim(text) <> '' ORDER BY url
+    """
+    o["s6_ddl_on_first_use"] = """
+        SELECT * FROM (VALUES
+          ('url', 'string'), ('warc_ts', 'timestamp'), ('file_hash', 'string'),
+          ('method', 'string'), ('text', 'string'),
+          ('spans', 'array<struct<field:string,start:int,end:int>>'),
+          ('fields_json', 'string'), ('lang', 'string'), ('status', 'string'),
+          ('error', 'string'), ('extracted_at', 'timestamp')
+        ) AS t(col_name, data_type) ORDER BY col_name
+    """
+    o["a3_idempotent_resume"] = f"""
+        SELECT url FROM {pages} WHERE url NOT LIKE '%/feed/%' ORDER BY url
+    """
+    # S5: json.dumps(..., indent=2) re-derived from the canonical compact form
+    # (field values contain no quotes/braces by the capture classes, so the
+    # ', "' splice point is unambiguous)
+    o["s5_json_export"] = f"""
+        SELECT url,
+          CASE WHEN golden_fields_json = '{{}}' THEN '{{}}'
+               ELSE '{{' || chr(10) || '  ' ||
+                    replace(substring(golden_fields_json, 2, length(golden_fields_json) - 2),
+                            ', "', ',' || chr(10) || '  "')
+                    || chr(10) || '}}'
+          END AS export_json
+        FROM {goldens} WHERE golden_text IS NOT NULL ORDER BY url
+    """
+
     norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
     o["dedup_exact"] = f"""
-        SELECT substring(sha256({norm}), 1, 16) AS fingerprint,
+        SELECT substring(sha256(COALESCE({norm}, '')), 1, 16) AS fingerprint,
                min(doc_id) AS keep_id, count(*) AS n_dups
         FROM documents GROUP BY 1 ORDER BY fingerprint
     """

@@ -56,8 +56,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Group identical normalized content; keep the smallest id as canonical.
 
     One shuffle (hash aggregate); partial aggregation runs map-side.
+
+    NULL text is coalesced to '' BEFORE hashing: sha2(NULL) is NULL, which
+    would silently collapse every NULL-text document into one NULL
+    fingerprint group invisible to downstream keep-logic. With the coalesce
+    they group under the empty-content fingerprint, visibly counted.
     """
-    fp = F.substring(F.sha2(normalized(F.col(text_col)), 256), 1, 16)
+    fp = F.substring(
+        F.sha2(F.coalesce(normalized(F.col(text_col)), F.lit("")), 256), 1, 16
+    )
     return (
         df.select(F.col(id_col), fp.alias("fingerprint"))
         .groupBy("fingerprint")

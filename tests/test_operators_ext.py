@@ -205,6 +205,21 @@ class TestMinhashFastHash:
                 assert 0 <= v < (1 << 60)
 
 
+class TestExactDedupNulls:
+    def test_null_text_groups_visibly_not_as_null_fingerprint(self, spark):
+        from pdf_parser_spark.operators.dedup import exact_dedup
+
+        rows = [(0, None), (1, None), (2, ""), (3, "real content here")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r.fingerprint: r for r in exact_dedup(df).collect()}
+        # no NULL fingerprint group: NULL text coalesces to the ''-content
+        # fingerprint and is counted there alongside genuinely empty docs
+        assert None not in out
+        empty_fp = [r for r in out.values() if r.n_dups == 3]
+        assert len(empty_fp) == 1 and empty_fp[0].keep_id == 0
+        assert sum(r.n_dups for r in out.values()) == 4
+
+
 class TestDedupSkewGuards:
     def test_lsh_bucket_cap_drops_degenerate_bucket(self, spark):
         from pdf_parser_spark.operators.dedup import minhash_lsh_pairs
