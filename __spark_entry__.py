@@ -473,21 +473,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return T.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
     q["text_fingerprint"] = text_fingerprint
 
-    def text_lm_quality(spark, sf_dir):  # trigram-LM perplexity: rows-only
+    # LM + BPE score with the FROZEN sf0.01-trained artifacts
+    # (tools/freeze_models.py): production ships the quality LM / tokenizer
+    # as artifacts rather than retraining inside every scoring job, and the
+    # frozen counts are embedded in the DuckDB oracles for exact checking
+    def text_lm_quality(spark, sf_dir):  # trigram-LM perplexity (CCNet-style)
         from pdf_parser_spark.operators import lm as L
-        d = _docs(spark, sf_dir)
-        model = L.train_char_trigram_lm(d)
-        return L.lm_quality_flags(d, model).orderBy("doc_id")
+        from pdf_parser_spark.operators.models import load_frozen_lm
+        return L.lm_quality_flags(_docs(spark, sf_dir), load_frozen_lm()).orderBy("doc_id")
     q["text_lm_quality"] = text_lm_quality
 
-    def text_bpe_token_counts(spark, sf_dir):  # real BPE tokenizer: rows-only
+    def text_bpe_token_counts(spark, sf_dir):  # real BPE tokenizer
         from pdf_parser_spark.operators import bpe as B
-        d = _docs(spark, sf_dir)
-        merges = B.bpe_train(B.word_frequencies(d, top_k=5000), num_merges=200)
-        return B.bpe_token_counts(d, merges).orderBy("doc_id")
+        from pdf_parser_spark.operators.models import load_frozen_bpe
+        return B.bpe_token_counts(_docs(spark, sf_dir), load_frozen_bpe()).orderBy("doc_id")
     q["text_bpe_token_counts"] = text_bpe_token_counts
 
-    def text_winnow_fingerprint(spark, sf_dir):  # rolling-hash op: rows-only
+    def text_winnow_fingerprint(spark, sf_dir):  # rolling-hash winnowing
         return (
             T.winnow_fingerprint(_docs(spark, sf_dir))
             .select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
@@ -901,6 +903,137 @@ def oracle_sql() -> dict[str, str]:
     o["text_fingerprint"] = f"""
         SELECT doc_id, substring(sha256({norm}), 1, 16) AS fingerprint
         FROM documents ORDER BY doc_id
+    """
+
+    # ---- LM + BPE: frozen-model oracles -------------------------------------
+    def sql_str(s: str) -> str:
+        """Render a Python string as a DuckDB expression (chr() for
+        non-printables like the BOS pad, '' doubling for quotes)."""
+        out, seg = [], []
+        for ch in s:
+            if 32 <= ord(ch) < 127:
+                seg.append(ch.replace("'", "''"))
+            else:
+                if seg:
+                    out.append("'" + "".join(seg) + "'")
+                    seg = []
+                out.append(f"chr({ord(ch)})")
+        if seg:
+            out.append("'" + "".join(seg) + "'")
+        return " || ".join(out) if out else "''"
+
+    from pdf_parser_spark.operators.models import load_frozen_bpe, load_frozen_lm
+
+    _tri, _, _ = load_frozen_lm()
+    tri_values = ", ".join(
+        f"({sql_str(t)}, {c})" for t, c in sorted(_tri.items())
+    )
+    # bigram counts and the vocab size are DERIVED from the truncated trigram
+    # table exactly as lm.train_char_trigram_lm does (lm.py:50-56)
+    o["text_lm_quality"] = f"""
+        WITH tri(t, c) AS (VALUES {tri_values}),
+        bi AS (SELECT substring(t, 1, 2) AS b, sum(c) AS cb FROM tri GROUP BY 1),
+        v AS (SELECT greatest(count(DISTINCT substring(t, 3, 1)), 1) AS V FROM tri),
+        docs AS (SELECT doc_id, {norm} AS s FROM documents),
+        padded AS (SELECT doc_id, length(s) AS n, chr(2) || chr(2) || s AS p FROM docs),
+        grams AS (
+          SELECT doc_id, unnest(list_transform(range(1, n + 1),
+                                i -> substring(p, i::INT, 3))) AS g
+          FROM padded WHERE n > 0
+        ),
+        scored AS (
+          SELECT doc_id,
+            round(sum(-log2((COALESCE(tr.c, 0) + 0.1)
+                            / (COALESCE(bi.cb, 0) + 0.1 * (SELECT V FROM v))))
+                  / count(*), 6) AS bpc
+          FROM grams LEFT JOIN tri tr ON grams.g = tr.t
+                     LEFT JOIN bi ON substring(grams.g, 1, 2) = bi.b
+          GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.n AS n_scored, s.bpc AS bits_per_char,
+               COALESCE(s.bpc <= 6.0, FALSE) AS keep
+        FROM padded p LEFT JOIN scored s USING (doc_id) ORDER BY doc_id
+    """
+
+    _merges = load_frozen_bpe()
+    merge_values = ", ".join(
+        f"({i}, {sql_str(a)}, {sql_str(b)})" for i, (a, b) in enumerate(_merges)
+    )
+    # full BPE encode as a recursive CTE: each step applies the lowest-rank
+    # applicable merge at its first position — exactly bpe._encode_word's
+    # greedy loop; UNION dedup terminates at the per-word fixpoint, QUALIFY
+    # picks the terminal (shortest) symbol sequence
+    o["text_bpe_token_counts"] = f"""
+        WITH RECURSIVE
+        merges(rank, a, b) AS (VALUES {merge_values}),
+        words AS (
+          SELECT DISTINCT unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+          FROM documents
+        ),
+        enc(w, syms) AS (
+          SELECT w, list_append(string_split(w, ''), '</w>') FROM words
+          UNION
+          SELECT w, CASE WHEN best IS NULL THEN syms ELSE
+              syms[1:pos-1] || [syms[pos] || syms[pos+1]] || syms[pos+2:len(syms)] END
+          FROM (
+            SELECT w, syms, best,
+              CASE WHEN best IS NULL THEN NULL ELSE
+                list_position(pairs, (SELECT a || chr(1) || b FROM merges WHERE rank = best)) END AS pos
+            FROM (
+              SELECT w, syms, pairs,
+                (SELECT min(m.rank) FROM merges m
+                  WHERE list_contains(pairs, m.a || chr(1) || m.b)) AS best
+              FROM (
+                SELECT w, syms,
+                  list_transform(range(1, len(syms)), i -> syms[i] || chr(1) || syms[i+1]) AS pairs
+                FROM enc
+              )
+            )
+          )
+        ),
+        final AS (
+          SELECT w, len(syms) AS n FROM enc
+          QUALIFY row_number() OVER (PARTITION BY w ORDER BY len(syms)) = 1
+        ),
+        docw AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+          FROM documents
+        ),
+        counts AS (
+          SELECT doc_id, sum(f.n) AS n FROM docw JOIN final f USING (w) GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(c.n, 0) AS n_bpe_tokens
+        FROM documents d LEFT JOIN counts c USING (doc_id) ORDER BY doc_id
+    """
+
+    # winnowing: the selected fingerprint VALUE set equals the distinct
+    # per-window minima (the rightmost-tie rule only changes which POSITION
+    # is kept, never the value), so SQL needs no tie-breaking. The rolling
+    # Rabin-Karp hash mod 2^64 equals a direct per-k-gram HUGEINT fold with
+    # per-step mod, then the 61-bit mask is mod 2^61.
+    o["text_winnow_fingerprint"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_transform(list_filter(string_split({norm}, ''), c -> c <> ''),
+                                c -> unicode(c)::HUGEINT) AS codes
+          FROM documents
+        ), h AS (
+          SELECT doc_id, len(codes) AS L,
+            list_transform(range(1, greatest(len(codes) - 3, 1)),
+              i -> list_reduce(codes[i:i+4],
+                     (a, b) -> ((a * 1000003 + b) % 18446744073709551616::HUGEINT)
+                   ) % 2305843009213693952::HUGEINT) AS hashes
+          FROM base
+        )
+        SELECT doc_id,
+          CASE WHEN L < 5 THEN 0
+               WHEN L - 4 <= 4 THEN 1
+               ELSE len(list_distinct(list_transform(range(1, L - 6),
+                      w -> list_aggregate(hashes[w:w+3], 'min'))))
+          END AS n_fingerprints
+        FROM h ORDER BY doc_id
     """
 
     o["clean_canonical_url"] = f"""

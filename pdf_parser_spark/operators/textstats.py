@@ -123,6 +123,7 @@ def winnow_fingerprint(
     # annotations (PEP 563 module) would not resolve during UDF inspection
     @F.pandas_udf(ArrayType(LongType()))
     def winnow(texts):
+        np.seterr(over="ignore")  # uint64 wraparound IS the hash semantics
         base_pow = base ** np.uint64(k - 1)
         out = []
         for t in texts:

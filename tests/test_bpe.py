@@ -95,3 +95,13 @@ class TestSparkSurfaces:
             r.n_bpe_tokens for r in bpe_token_counts(docs, many).collect()
         )
         assert n_many < n_few  # a bigger vocab always compresses harder
+
+
+class TestFrozenBPE:
+    def test_frozen_matches_fresh_training_at_sf001(self, spark):
+        from pdf_parser_spark.operators.bpe import bpe_train, word_frequencies
+        from pdf_parser_spark.operators.models import load_frozen_bpe
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        fresh = bpe_train(word_frequencies(docs, top_k=5000), num_merges=200)
+        assert load_frozen_bpe() == fresh

@@ -58,3 +58,16 @@ class TestScoring:
         a = {r.doc_id: r.bits_per_char for r in lm_bits_per_char(docs, model).collect()}
         b = {r.doc_id: r.bits_per_char for r in lm_bits_per_char(docs, model).collect()}
         assert a == b
+
+
+class TestFrozenLM:
+    def test_frozen_matches_fresh_training_at_sf001(self, spark):
+        # drift gate for tools/freeze_models.py: the shipped artifact must be
+        # exactly what a fresh distributed training run produces
+        from pdf_parser_spark.operators.lm import train_char_trigram_lm
+        from pdf_parser_spark.operators.models import load_frozen_lm
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        fresh_tri, fresh_bi, fresh_v = train_char_trigram_lm(docs)
+        tri, bi, v = load_frozen_lm()
+        assert tri == fresh_tri and bi == fresh_bi and v == fresh_v
