@@ -446,15 +446,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("id_a", "id_b")
     q["ann_embedding_near_dup"] = ann_embedding_near_dup
 
-    def ann_lsh_bucketed_topk(spark, sf_dir):  # seeded-numpy op: rows-only
-        return S.lsh_bucketed_topk(_emb(spark, sf_dir), query_id=0, k=10, n_planes=4)
+    def ann_lsh_bucketed_topk(spark, sf_dir):
+        # coordinate-sign buckets: JVM-only LSH the DuckDB oracle recomputes
+        # exactly (the seeded-Gaussian variant stays recall-tested in pytest)
+        return S.lsh_bucketed_topk(
+            _emb(spark, sf_dir), query_id=0, k=10, n_planes=4,
+            bucket_fn="coordinate",
+        )
     q["ann_lsh_bucketed_topk"] = ann_lsh_bucketed_topk
 
-    def ann_ivf_topk(spark, sf_dir):  # seeded k-means IVF: rows-only oracle
+    def ann_ivf_topk(spark, sf_dir):
+        # n_probe == n_lists probes every inverted list, so the result is
+        # exhaustive-exact regardless of the trained centroids — which makes
+        # the brute-force SQL a true value oracle; approximate recall for
+        # n_probe < n_lists is asserted in pytest
         return S.ivf_topk(
             _emb(spark, sf_dir), query_id=0, k=10, n_lists=8, n_probe=8
         )
     q["ann_ivf_topk"] = ann_ivf_topk
+
+    def ann_bucketed_near_dup(spark, sf_dir):
+        # scale path for ann_embedding_near_dup: bucket equi-join, no O(n^2)
+        return S.bucketed_near_dup_pairs(
+            _emb(spark, sf_dir), threshold=0.2, n_planes=4
+        ).orderBy("id_a", "id_b")
+    q["ann_bucketed_near_dup"] = ann_bucketed_near_dup
+
+    def ann_knn_join(spark, sf_dir):
+        # batch KNN: top-k for EVERY row via the IVF index; exhaustive probes
+        # here (oracle-exact), n_probe << n_lists in production
+        return S.knn_join(_emb(spark, sf_dir), k=3, n_lists=8, n_probe=8).orderBy(
+            "qid", "nid"
+        )
+    q["ann_knn_join"] = ann_knn_join
 
     # ---- text analysis --------------------------------------------------------
     def text_token_count(spark, sf_dir):
@@ -851,6 +875,41 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.vec_id < 200 AND b.vec_id < 200
           AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2
         ORDER BY id_a, id_b
+    """
+
+    # coordinate-sign LSH bucket (similarity.coordinate_sign_bucket):
+    # bit i = (v[2i] > v[2i+1]), identical float32 comparisons both engines
+    bucket_sql = " + ".join(
+        f"CASE WHEN embedding[{2 * i + 1}] > embedding[{2 * i + 2}] THEN {1 << i} ELSE 0 END"
+        for i in range(4)
+    )
+    o["ann_lsh_bucketed_topk"] = f"""
+        WITH b AS (SELECT vec_id, embedding, ({bucket_sql}) AS bk FROM embeddings),
+        q AS (SELECT embedding AS qv, bk AS qbk FROM b WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS score
+        FROM b, q WHERE bk = qbk AND vec_id <> 0
+        ORDER BY score DESC, vec_id LIMIT 10
+    """
+    # exhaustive-probe IVF == brute force (see the query comment)
+    o["ann_ivf_topk"] = o["ann_bruteforce_topk"]
+    o["ann_bucketed_near_dup"] = f"""
+        WITH b AS (SELECT vec_id, embedding, ({bucket_sql}) AS bk FROM embeddings)
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+               round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS score
+        FROM b l JOIN b r ON l.bk = r.bk AND l.vec_id < r.vec_id
+        WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) >= 0.2
+        ORDER BY id_a, id_b
+    """
+    o["ann_knn_join"] = """
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        QUALIFY row_number() OVER (
+          PARTITION BY a.vec_id
+          ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+                   b.vec_id) <= 3
+        ORDER BY qid, nid
     """
 
     o["text_token_count"] = """

@@ -21,8 +21,9 @@ from pyspark.sql.types import IntegerType
 
 __all__ = [
     "cosine", "brute_force_topk", "embedding_near_dup_pairs",
+    "coordinate_sign_bucket", "bucketed_near_dup_pairs",
     "lsh_bucketed_topk", "hyperplane_bucket_udf",
-    "ivf_train_centroids", "ivf_assign", "ivf_topk",
+    "ivf_train_centroids", "ivf_assign", "ivf_topk", "knn_join",
 ]
 
 
@@ -94,6 +95,69 @@ def embedding_near_dup_pairs(
     )
 
 
+def coordinate_sign_bucket(vec_col: Column, n_planes: int = 8) -> Column:
+    """Deterministic sign-difference LSH bucket, pure JVM expression.
+
+    Bit i is sign(v[2i] - v[2i+1]) — i.e. the hyperplane with normal
+    (e_2i - e_2i+1)/sqrt(2), a valid random-projection family for cosine
+    similarity that needs no RNG and no Python: the whole bucketing stays
+    inside whole-stage codegen and is exactly reproducible in any SQL
+    engine with array indexing (the DuckDB oracle recomputes it).
+    Requires dim >= 2*n_planes.
+    """
+    out: Optional[Column] = None
+    for i in range(n_planes):
+        bit = (
+            F.element_at(vec_col, 2 * i + 1) > F.element_at(vec_col, 2 * i + 2)
+        ).cast("int") * F.lit(1 << i)
+        out = bit if out is None else out + bit
+    return out
+
+
+def bucketed_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: candidates meet only inside
+    coordinate-sign buckets (equi-join), never as a cross product.
+
+    The scale path for embedding_near_dup_pairs: a bucket holding M of N
+    vectors yields M^2 candidates instead of N^2 — with 2^n_planes buckets
+    that's a ~2^n_planes-fold pruning for near-uniform data. True near-dups
+    (cosine ~1) collide with probability (1 - theta/pi)^n_planes, so recall
+    stays high for the thresholds dedup cares about (tested vs the exact
+    form). max_bucket mirrors minhash_lsh_pairs' skew cap: degenerate
+    buckets (e.g. all-zero embeddings) are dropped rather than exploded.
+    """
+    b = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        coordinate_sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+    )
+    if max_bucket is not None:
+        sizes = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+        b = b.join(sizes.where(F.col("_bsz") <= max_bucket), "_bucket").drop("_bsz")
+    l = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "_bucket"
+    )
+    r = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_bucket"
+    )
+    return (
+        l.join(r, ["_bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
 def hyperplane_bucket_udf(dim: int, n_planes: int = 12, seed: int = 7):
     """Vectorized sign-sketch bucketing: bucket = bits of sign(R @ v).
 
@@ -122,6 +186,7 @@ def ivf_train_centroids(
     sample_rows: int = 2048,
     iters: int = 10,
     seed: int = 7,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Train IVF coarse centroids with a deterministic seeded k-means.
 
@@ -129,11 +194,14 @@ def ivf_train_centroids(
     practice (FAISS trains on ~(30-256)*nlist samples regardless of corpus
     size), so this stays O(sample) at 10^12 vectors. Spherical k-means:
     vectors and centroids are L2-normalized so assignment by max dot product
-    equals max cosine.
+    equals max cosine. The sample is the id-ordered prefix (a distributed
+    top-k, not a full sort): limit() without an order is partition-layout
+    dependent, which would make "deterministic" false across cluster sizes.
     """
     sample = [
         np.asarray(r[0], dtype=np.float64)
-        for r in embeddings.select(vec_col).limit(sample_rows).collect()
+        for r in embeddings.select(vec_col, id_col)
+        .orderBy(id_col).limit(sample_rows).select(vec_col).collect()
     ]
     mat = np.stack(sample)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -207,6 +275,65 @@ def ivf_topk(
     )
 
 
+def knn_join(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_lists: int = 8,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Batch KNN join: top-k neighbours for EVERY row via the IVF index.
+
+    The all-rows upgrade of ivf_topk (a training pipeline needs
+    every-document-vs-index, not one query vector): each query row explodes
+    to its n_probe nearest lists and equi-joins the list-assigned corpus, so
+    the candidate set per query is n_probe/n_lists of the data — with a
+    layout bucketed by _ivf_list the join is co-located and the probe is
+    partition pruning. n_probe == n_lists is the exhaustive (oracle-exact)
+    mode; production sets n_probe << n_lists. Ranking is one
+    row_number window per query id over (rounded score desc, id asc) —
+    deterministic across engines. Returns (qid, nid, score).
+    """
+    cent = ivf_train_centroids(
+        embeddings, n_lists, vec_col, seed=seed, id_col=id_col
+    )
+    assigned = ivf_assign(embeddings, cent, vec_col)
+    centm = np.ascontiguousarray(cent, dtype=np.float64)
+    n_probe = min(n_probe, len(centm))
+
+    @F.pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mat @ centm.T), axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    q = embeddings.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probes(F.col(vec_col))).alias("_probe"),
+    )
+    scored = (
+        q.join(assigned, q["_probe"] == assigned["_ivf_list"])
+        .where(F.col("qid") != F.col(id_col))
+        .select(
+            "qid",
+            F.col(id_col).alias("nid"),
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_id: int = 0,
@@ -216,19 +343,29 @@ def lsh_bucketed_topk(
     dim: Optional[int] = None,
     n_planes: int = 8,
     seed: int = 7,
+    bucket_fn: str = "hyperplane",
 ) -> DataFrame:
-    """ANN top-k: score only vectors in the query's hyperplane bucket.
+    """ANN top-k: score only vectors in the query's LSH bucket.
 
     The scale path for brute_force_topk: the bucket equi-join prunes the
     candidate set ~2^n_planes-fold before any cosine is computed. Recall vs
     the brute-force baseline is asserted in tests (same bucket => high-cosine
     vectors collide with high probability).
+
+    bucket_fn: 'hyperplane' = seeded Gaussian projections (numpy pandas
+    UDF); 'coordinate' = coordinate_sign_bucket — JVM-only and exactly
+    reproducible in the DuckDB oracle.
     """
-    if dim is None:
-        first = embeddings.select(F.size(F.col(vec_col))).first()
-        dim = int(first[0])
-    bucket = hyperplane_bucket_udf(dim, n_planes, seed)
-    bucketed = embeddings.withColumn("_bucket", bucket(F.col(vec_col)))
+    if bucket_fn == "coordinate":
+        bucketed = embeddings.withColumn(
+            "_bucket", coordinate_sign_bucket(F.col(vec_col), n_planes)
+        )
+    else:
+        if dim is None:
+            first = embeddings.select(F.size(F.col(vec_col))).first()
+            dim = int(first[0])
+        bucket = hyperplane_bucket_udf(dim, n_planes, seed)
+        bucketed = embeddings.withColumn("_bucket", bucket(F.col(vec_col)))
     q = bucketed.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_query_vec"), F.col("_bucket").alias("_qb")
     )

@@ -255,3 +255,61 @@ class TestDedupSkewGuards:
         }
         assert set(pruned) == {(0, 1)}
         assert pruned[(0, 1)] == 1.0  # identical over the pruned universe
+
+
+class TestBucketedNearDup:
+    def test_recall_vs_exact_pairs(self, emb):
+        from pdf_parser_spark.operators.similarity import (
+            bucketed_near_dup_pairs, embedding_near_dup_pairs,
+        )
+
+        exact = {(r.id_a, r.id_b) for r in
+                 embedding_near_dup_pairs(emb, threshold=0.5).collect()}
+        got = {(r.id_a, r.id_b) for r in
+               bucketed_near_dup_pairs(emb, threshold=0.5, n_planes=4).collect()}
+        # bucketed candidates are a subset of the exact pair set...
+        assert got <= exact
+        # ...with usable recall at near-dup thresholds
+        if exact:
+            assert len(got) / len(exact) >= 0.3
+
+    def test_max_bucket_drops_degenerate_bucket(self, spark):
+        from pdf_parser_spark.operators.similarity import bucketed_near_dup_pairs
+
+        # 6 identical vectors = one bucket of 6; a distinct pair elsewhere
+        rows = [(i, [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0]) for i in range(6)]
+        rows += [(10, [-1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0]),
+                 (11, [-1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0])]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        uncapped = {(r.id_a, r.id_b)
+                    for r in bucketed_near_dup_pairs(df, 0.9, n_planes=4).collect()}
+        capped = {(r.id_a, r.id_b)
+                  for r in bucketed_near_dup_pairs(df, 0.9, n_planes=4,
+                                                   max_bucket=3).collect()}
+        assert len(uncapped) == 15 + 1 and capped == {(10, 11)}
+
+
+class TestKnnJoin:
+    def test_exhaustive_probe_equals_brute_force_per_query(self, emb):
+        from pdf_parser_spark.operators.similarity import brute_force_topk, knn_join
+
+        small = emb.where(F.col("vec_id") < 40)
+        out = knn_join(small, k=3, n_lists=4, n_probe=4).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.qid, []).append((r.nid, r.score))
+        assert set(by_q) == set(range(40))
+        assert all(len(v) == 3 for v in by_q.values())
+        # spot-check two queries against the single-query baseline
+        for qid in (0, 17):
+            want = [(r.vec_id, r.score)
+                    for r in brute_force_topk(small, query_id=qid, k=3).collect()]
+            got = sorted(by_q[qid], key=lambda t: (-t[1], t[0]))
+            assert got == want
+
+    def test_restricted_probe_prunes_candidates(self, emb):
+        from pdf_parser_spark.operators.similarity import knn_join
+
+        small = emb.where(F.col("vec_id") < 60)
+        out = knn_join(small, k=2, n_lists=6, n_probe=2).collect()
+        assert len(out) <= 60 * 2 and len(out) > 0
