@@ -411,6 +411,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("id_a", "id_b")
     q["dedup_minhash_lsh_pairs"] = dedup_minhash_lsh_pairs
 
+    def dedup_minhash_lsh_pairs_capped(spark, sf_dir):
+        # the scale-default form: max_bucket drops degenerate band buckets
+        # (M members = M^2/2 pairs) whose contents exact_dedup already
+        # collapses; uncapped stays available as the oracle-exact mode above
+        return D.minhash_lsh_pairs(
+            _docs(spark, sf_dir), num_hashes=16, bands=8, max_bucket=50
+        ).orderBy("id_a", "id_b")
+    q["dedup_minhash_lsh_pairs_capped"] = dedup_minhash_lsh_pairs_capped
+
     def dedup_ngram_jaccard(spark, sf_dir):
         return (
             D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.0)
@@ -770,6 +779,27 @@ def oracle_sql() -> dict[str, str]:
           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
         ORDER BY id_a, id_b
     """
+    # capped variant: band buckets above max_bucket=50 are dropped before
+    # the self-join (the window count reproduces dedup.py's size filter)
+    o["dedup_minhash_lsh_pairs_capped"] = shingle_cte + f"""
+        , sig AS (
+          SELECT doc_id, {', '.join(mh(i) for i in range(16))}
+          FROM sh GROUP BY doc_id
+        ), banded AS (
+          SELECT doc_id, b.band,
+                 md5(concat_ws(',', CASE b.band {' '.join(f"WHEN {b} THEN mh_{2*b}" for b in range(8))} END,
+                                    CASE b.band {' '.join(f"WHEN {b} THEN mh_{2*b+1}" for b in range(8))} END)) AS key
+          FROM sig, (SELECT unnest(range(0, 8)) AS band) b
+        ), capped AS (
+          SELECT doc_id, band, key FROM banded
+          QUALIFY count(*) OVER (PARTITION BY band, key) <= 50
+        )
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM capped l JOIN capped r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ORDER BY id_a, id_b
+    """
+
     # connected components over the same LSH pair graph, via transitive
     # closure (WITH RECURSIVE; UNION dedup guarantees termination) — small at
     # oracle scale, while the Spark side uses min-label propagation rounds

@@ -37,9 +37,10 @@ HEADLINE = [
     "p4_regex_fields",            # P4-P6 JVM-side regex path
     "p12_display_name_join",      # broadcast join
     "dedup_exact",                # exact dedup (hash groupBy)
-    "dedup_minhash_lsh_pairs",    # MinHash+LSH band join
+    "dedup_minhash_lsh_pairs_capped",  # MinHash+LSH band join, skew cap ON
     "dedup_simhash",              # pandas-UDF simhash
     "ann_bruteforce_topk",        # similarity search baseline
+    "ann_knn_join",               # batch KNN via the IVF index
     "text_quality_score",         # text analysis
     "clean_repetition_flags",     # Gopher-style corpus cleaning
     "media_metadata",             # multimodal sniffing

@@ -494,6 +494,8 @@ def _ascii85_decode(data: bytes) -> bytes:
             n = 0
             for g in group:
                 n = n * 85 + g
+            if n > 0xFFFFFFFF:  # e.g. b'uuuuu': would escape as OverflowError
+                raise PDFProcessingError("ASCII85: group value overflow")
             out += n.to_bytes(4, "big")
             group = []
     if group:
@@ -503,6 +505,8 @@ def _ascii85_decode(data: bytes) -> bytes:
         n = 0
         for g in group + [84] * (5 - k):
             n = n * 85 + g
+        if n > 0xFFFFFFFF:
+            raise PDFProcessingError("ASCII85: group value overflow")
         out += n.to_bytes(4, "big")[: k - 1]
     return bytes(out)
 

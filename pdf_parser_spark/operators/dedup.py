@@ -252,6 +252,14 @@ def connected_components(
         labels = updated.drop("_chg")
         if changed == 0:
             break
+    else:
+        # the loop exhausted max_iters with labels still moving: returning
+        # silently would hand the caller wrong components with no signal
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); the pair graph has a longer "
+            "diameter than near-dup clusters should — raise max_iters"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 
 

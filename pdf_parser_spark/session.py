@@ -9,6 +9,14 @@ from pyspark.sql import SparkSession
 __all__ = ["get_spark", "fan_out", "DEFAULT_SHUFFLE_PARTITIONS"]
 
 
+def _parse_bytes(v: str) -> int:
+    v = str(v).strip().lower()
+    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if v.endswith(suffix):
+            return int(float(v[: -len(suffix)])) * mult
+    return int(float(v))
+
+
 def fan_out(df):
     """Repartition a DataFrame only if its scan under-splits the cluster.
 
@@ -19,10 +27,26 @@ def fan_out(df):
     trivial for exactly the tables that trigger the condition — while a
     large table already has >= defaultParallelism splits and passes through
     untouched, so this never shuffles big data.
+
+    The under-split probe estimates scan splits from file-listing metadata
+    (inputFiles + maxPartitionBytes), NOT df.rdd.getNumPartitions(): the
+    RDD conversion forces plan materialization per call, which must never
+    creep onto a petabyte scan. Non-file-backed plans fall back to the RDD
+    probe (they are already materialized logical plans).
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        files = df.inputFiles()
+        maxpb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+        est = sum(
+            max(1, -(-os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+                     // maxpb))
+            for f in files
+        ) if files else 0
+    except Exception:
+        est = df.rdd.getNumPartitions()
+    if est < target:
         return df.repartition(target)
     return df
 

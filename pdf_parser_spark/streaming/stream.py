@@ -160,9 +160,11 @@ def stream_status_counts(
     """Watermarked per-window ok/error counters over the live stream.
 
     Late rows beyond the watermark are dropped from their window instead of
-    blocking state forever — bounded state at 10^12-document scale.
-    Emits to an in-memory sink named 'status_counts' (query it with
-    spark.sql("select * from status_counts")).
+    blocking state forever, and UPDATE output mode lets the watermark
+    actually evict closed windows — complete mode would retain every window
+    ever seen, unbounding state at 10^12-document scale. Each micro-batch
+    emits the updated running totals; the latest row per (window, status)
+    is the current count. In-memory sink named 'status_counts'.
     """
     pages = _pages_stream(spark, corpus_dir, max_files_per_trigger)
     extracted = (
@@ -179,7 +181,7 @@ def stream_status_counts(
         counts.writeStream.format("memory")
         .queryName("status_counts")
         .option("checkpointLocation", checkpoint)
-        .outputMode("complete")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )

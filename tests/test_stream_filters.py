@@ -105,6 +105,14 @@ class TestAscii85:
         with pytest.raises(PDFProcessingError):
             _ascii85_decode(b"\x7f\x7f\x7f\x7f\x7f")
 
+    def test_group_overflow_raises_typed_error(self):
+        # b'uuuuu' encodes 85^5-ish > 2^32-1: must stay inside the module's
+        # typed-error contract, not escape as OverflowError
+        with pytest.raises(PDFProcessingError, match="overflow"):
+            _ascii85_decode(b"uuuuu~>")
+        with pytest.raises(PDFProcessingError, match="overflow"):
+            _ascii85_decode(b"uuuu~>")  # partial-group path
+
 
 class TestRunLength:
     @settings(max_examples=50, deadline=None)

@@ -58,10 +58,16 @@ class TestStreamExtract:
         )
         q.awaitTermination(120)
         rows = spark.sql("select * from status_counts").collect()
-        total = sum(r.n for r in rows)
+        # update-mode memory sink: each micro-batch appends the UPDATED
+        # running totals, so the current count per key is the max
+        latest: dict = {}
+        for r in rows:
+            key = (r.window_start, r.status)
+            latest[key] = max(latest.get(key, 0), r.n)
+        total = sum(latest.values())
         assert total == 100  # sf0.001 corpus size; every row lands in a window
-        assert {r.status for r in rows} == {"ok", "error"}
-        assert sum(r.n for r in rows if r.status == "error") == 16
+        assert {s for _, s in latest} == {"ok", "error"}
+        assert sum(n for (_, s), n in latest.items() if s == "error") == 16
 
 
 class TestStatefulHostStats:
