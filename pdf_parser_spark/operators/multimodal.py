@@ -22,7 +22,7 @@ from pyspark.sql.types import (
 )
 
 __all__ = [
-    "media_metadata", "media_features", "decode_image",
+    "media_metadata", "media_features", "decode_image", "pixel_features",
     "image_resize", "frame_sample",
 ]
 
@@ -59,14 +59,22 @@ def media_metadata(df: DataFrame, bin_col: str = "html", key_col: str = "url") -
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real codec decode — NOT IMPLEMENTED in this container.
+    """Codec decode to a (h, w, c) uint8 pixel array.
 
-    The container has no image/audio codecs; production swaps this for a
-    Pillow/ffmpeg-backed decode. The deterministic fake below keeps the
-    Spark plumbing (schema, batch shapes, partitioning) fully testable.
+    PNG decodes for real via the from-scratch pure-Python codec
+    (kernels/png.py — zlib inflate + scanline unfilter from the public
+    spec). Other formats (JPEG/GIF/video) need codec libraries not present
+    in this container and raise NotImplementedError; production swaps in a
+    Pillow/ffmpeg-backed decode without touching any Spark plan. The
+    deterministic digest featurizer below keeps the plumbing testable for
+    the unsupported formats.
     """
+    from ..kernels.png import PNG_SIGNATURE, decode_png
+
+    if (payload or b"")[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
     raise NotImplementedError(
-        "codec decode requires an image library not present in this container"
+        "non-PNG codec decode requires an image library not present in this container"
     )
 
 
@@ -82,6 +90,30 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     reps = (dim + len(digest) - 1) // len(digest)
     b = np.frombuffer((digest * reps)[:dim], dtype=np.uint8)
     return ((b.astype(np.float32) - 127.5) / 127.5).astype(np.float32)
+
+
+def pixel_features(arr: "np.ndarray", dim: int) -> "np.ndarray":
+    """Deterministic features from real pixels: (h, w, c, global mean/std)
+    followed by a coarse grayscale grid of block means — the standard cheap
+    image descriptor shape (a production model replaces this with a CLIP/
+    ViT embedding; the schema and batching stay identical)."""
+    h, w, c = arr.shape
+    g = arr.astype(np.float32).mean(axis=2)
+    base = [float(h), float(w), float(c), float(g.mean()) / 255.0,
+            float(g.std()) / 255.0]
+    cells = max(dim - len(base), 0)
+    if cells:
+        rows = int(np.sqrt(cells)) or 1
+        cols = -(-cells // rows)
+        grid = [
+            float(block.mean()) / 255.0
+            for rband in np.array_split(g, rows, axis=0)
+            for block in np.array_split(rband, cols, axis=1)
+        ][:cells]
+        base += grid
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, len(base))] = base[:dim]
+    return out
 
 
 FEATURE_SCHEMA = StructType([
@@ -102,8 +134,11 @@ def media_features(
     """Arrow-batched feature extraction over opaque binary payloads.
 
     mapInPandas keeps batches bounded (session caps records/batch), so a
-    4K-video-sized payload cannot blow worker memory; the decode step is the
-    stub above unless real_decode is set (which raises loudly).
+    4K-video-sized payload cannot blow worker memory. With real_decode,
+    supported codecs (PNG, via kernels/png.py) yield real pixel features;
+    unsupported or corrupt payloads fall back to the deterministic digest
+    featurizer so one bad document never kills a task (the same per-row
+    error-isolation contract as the extraction kernel).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -113,7 +148,12 @@ def media_features(
                 payload = payload or b""
                 nbytes.append(len(payload))
                 if real_decode:
-                    decode_image(payload)  # raises NotImplementedError
+                    try:
+                        arr = decode_image(payload)
+                        feats.append([float(x) for x in pixel_features(arr, dim)])
+                        continue
+                    except Exception:
+                        pass  # unsupported codec / corrupt payload
                 feats.append([float(x) for x in _fake_features(payload, dim)])
             yield pd.DataFrame({
                 "url": pdf[key_col],
