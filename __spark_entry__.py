@@ -530,6 +530,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_winnow_fingerprint"] = text_winnow_fingerprint
 
+    # ---- temporal: as-of join + sessionization -------------------------------
+    def temporal_asof_join(spark, sf_dir):
+        # Spark-first ASOF: tagged union + last-ignoreNulls running window —
+        # one shuffle per side, no range-join row explosion; DuckDB's native
+        # ASOF JOIN is the oracle
+        from pdf_parser_spark.operators import temporal as TP
+
+        e = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+        o = (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+            .agg(F.max("o_orderkey").alias("o_orderkey"))
+        )
+        out = TP.asof_join(
+            e, o, key="user_id", left_ts="ts", right_ts="o_orderdate",
+            payload_cols=["o_orderkey"],
+        )
+        return out.select("event_id", "user_id", "o_orderkey").orderBy("event_id")
+    q["temporal_asof_join"] = temporal_asof_join
+
+    def temporal_sessionize(spark, sf_dir):
+        from pdf_parser_spark.operators import temporal as TP
+
+        return TP.session_stats(_events(spark, sf_dir), gap_seconds=1800).orderBy(
+            "user_id", "session_idx"
+        )
+    q["temporal_sessionize"] = temporal_sessionize
+
     # ---- cleaning (C4/Gopher/RefinedWeb-style) -------------------------------
     def clean_canonical_url(spark, sf_dir):
         from pdf_parser_spark.operators import cleaning as C
@@ -1123,6 +1151,35 @@ def oracle_sql() -> dict[str, str]:
                       w -> list_aggregate(hashes[w:w+3], 'min'))))
           END AS n_fingerprints
         FROM h ORDER BY doc_id
+    """
+
+    o["temporal_asof_join"] = """
+        WITH o AS (
+          SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, o.o_orderkey
+        FROM events e ASOF LEFT JOIN o
+          ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        ORDER BY event_id
+    """
+    o["temporal_sessionize"] = """
+        WITH w AS (
+          SELECT user_id, ts, event_id, value,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ), s AS (
+          SELECT *, sum(CASE WHEN prev IS NULL
+                              OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM w
+        )
+        SELECT user_id, session_idx, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
+        FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
     """
 
     o["clean_canonical_url"] = f"""

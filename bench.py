@@ -88,14 +88,18 @@ def main() -> int:
             fn = qmap[name]
             # first pass carries one-time costs (plan compile, codegen, first
             # shuffle, Python-worker fork) — reported separately as cold;
-            # the headline timing is the warm second pass (count() forces the
-            # full plan without driver-side collect of payloads)
+            # the headline timing is the BEST of two warm passes: single warm
+            # passes on this host scatter up to 2x from neighbor activity
+            # (count() forces the full plan without collecting payloads)
             t0 = time.perf_counter()
             rows[name] = fn(spark, sf_dir).count()
             cold[name] = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            warm = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                warm.append(time.perf_counter() - t0)
+            timings[name] = round(min(warm), 3)
 
         # flagship throughput: one clean, warmed pass over the kernel pipeline
         t0 = time.perf_counter()

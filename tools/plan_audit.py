@@ -20,7 +20,8 @@ SF_DIR = "/root/testdata/sf0.01"
 DEFAULT = [
     "extract_classic_pipeline", "p4_regex_fields", "p12_display_name_join",
     "w1_topk_limit", "dedup_exact", "dedup_minhash_lsh_pairs",
-    "ann_bruteforce_topk", "text_quality_score", "f1_f2_size_filter",
+    "dedup_minhash_lsh_pairs_capped", "ann_bruteforce_topk", "ann_knn_join",
+    "ann_bucketed_near_dup", "text_quality_score", "f1_f2_size_filter",
 ]
 
 
