@@ -550,6 +550,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("event_id", "user_id", "o_orderkey").orderBy("event_id")
     q["temporal_asof_join"] = temporal_asof_join
 
+    def temporal_interval_join(spark, sf_dir):
+        # range join via time binning (clicks within 24h before each error
+        # event, per user): bin equi-join + exact filter — never |L_k|x|R_k|
+        from pdf_parser_spark.operators import temporal as TP
+
+        ev = _events(spark, sf_dir)
+        errors = ev.where(F.col("event_type") == "error").select(
+            "event_id", "user_id", F.col("ts").alias("err_ts")
+        )
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("click_ts"), "value"
+        )
+        pairs = TP.interval_join(
+            errors, clicks, key="user_id", left_ts="err_ts",
+            right_ts="click_ts", lower_seconds=-86400, upper_seconds=0,
+        )
+        return (
+            pairs.groupBy("event_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_clicks"),
+                F.round(F.sum("value") * 100).cast("long").alias("click_value_cents"),
+            )
+            .orderBy("event_id")
+        )
+    q["temporal_interval_join"] = temporal_interval_join
+
     def temporal_sessionize(spark, sf_dir):
         from pdf_parser_spark.operators import temporal as TP
 
@@ -577,6 +603,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdf_parser_spark.operators import cleaning as C
         return C.repetition_flags(_docs(spark, sf_dir)).orderBy("doc_id")
     q["clean_repetition_flags"] = clean_repetition_flags
+
+    def clean_stopword_stats(spark, sf_dir):
+        from pdf_parser_spark.operators import cleaning as C
+        return C.stopword_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+    q["clean_stopword_stats"] = clean_stopword_stats
 
     def clean_domain_stats(spark, sf_dir):
         from pdf_parser_spark.operators import cleaning as C
@@ -1163,6 +1194,16 @@ def oracle_sql() -> dict[str, str]:
           ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
         ORDER BY event_id
     """
+    o["temporal_interval_join"] = """
+        SELECT a.event_id, count(*) AS n_clicks,
+               CAST(round(sum(b.value) * 100) AS BIGINT) AS click_value_cents
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'error' AND b.event_type = 'click'
+         AND epoch_us(b.ts) >= epoch_us(a.ts) - 86400::BIGINT * 1000000
+         AND epoch_us(b.ts) <= epoch_us(a.ts)
+        GROUP BY a.event_id ORDER BY a.event_id
+    """
     o["temporal_sessionize"] = """
         WITH w AS (
           SELECT user_id, ts, event_id, value,
@@ -1234,6 +1275,23 @@ def oracle_sql() -> dict[str, str]:
                round(twf, 6) AS top_word_frac,
                round(swr, 6) AS symbol_word_ratio,
                (dlf <= 0.30 AND twf <= 0.20 AND swr <= 0.10) AS keep
+        FROM m ORDER BY doc_id
+    """
+    _stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    _kinds = " + ".join(
+        f"CASE WHEN length(regexp_extract_all(lower(text), '\\b{w}\\b')) > 0 THEN 1 ELSE 0 END"
+        for w in _stops
+    )
+    o["clean_stopword_stats"] = f"""
+        WITH m AS (
+          SELECT doc_id,
+            length(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))::DOUBLE AS n_tok,
+            length(regexp_extract_all(lower(text), '\\b({'|'.join(_stops)})\\b'))::DOUBLE AS n_stop,
+            ({_kinds}) AS kinds
+          FROM documents
+        )
+        SELECT doc_id, round(n_stop / greatest(n_tok, 1.0), 6) AS stop_frac,
+               kinds AS n_stop_kinds, kinds >= 2 AS keep
         FROM m ORDER BY doc_id
     """
     o["clean_domain_stats"] = f"""

@@ -12,8 +12,12 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "canonicalize_url", "host_of", "scrub_pii", "repetition_flags",
-    "domain_stats", "domain_filter",
+    "stopword_stats", "domain_stats", "domain_filter", "GOPHER_STOPWORDS",
 ]
+
+# the Gopher rule's word list (Rae et al. 2021 §A1.1: "contain at least two
+# of the following English words: the, be, to, of, and, that, have, with")
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 # PII patterns (shared verbatim with the DuckDB oracles; RE2-safe, no
 # backrefs). Order matters: emails before phones (an email may contain
@@ -129,6 +133,35 @@ def repetition_flags(
             & (top_word_frac <= max_top_word_frac)
             & (symbol_ratio <= max_symbol_word_ratio)
         ).alias("keep"),
+    )
+
+
+def stopword_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_kinds: int = 2,
+) -> DataFrame:
+    """Gopher's stopword rule: keep documents containing at least min_kinds
+    DISTINCT words from the 8-word English stopword list, plus the stopword
+    token fraction as a quality signal. Pure JVM regex counting."""
+    t = F.lower(F.col(text_col))
+    n_tok = F.size(
+        F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    ).cast("double")
+    any_stop = "|".join(GOPHER_STOPWORDS)
+    n_stop = F.size(
+        F.regexp_extract_all(t, F.lit(rf"\b({any_stop})\b"), 0)
+    ).cast("double")
+    kinds = None
+    for w in GOPHER_STOPWORDS:
+        hit = (F.size(F.regexp_extract_all(t, F.lit(rf"\b{w}\b"), 0)) > 0).cast("int")
+        kinds = hit if kinds is None else kinds + hit
+    return df.select(
+        F.col(id_col),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1.0)), 6).alias("stop_frac"),
+        kinds.alias("n_stop_kinds"),
+        (kinds >= min_kinds).alias("keep"),
     )
 
 

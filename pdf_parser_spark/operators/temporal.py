@@ -25,7 +25,59 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize", "session_stats"]
+__all__ = ["asof_join", "interval_join", "sessionize", "session_stats"]
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+) -> DataFrame:
+    """Range (interval) join: pair each left row with the right rows of the
+    same key whose right_ts lies in [left_ts + lower, left_ts + upper].
+
+    Spark lacks a native range join; the naive form is an equi-join on key
+    followed by a time theta-filter, which inside one hot key degenerates to
+    |L_k| x |R_k| comparisons. This re-expression uses time BINNING: both
+    sides bucket into bins of the window width, a left row explodes to the
+    (at most two) bins its window overlaps, and the join key becomes
+    (key, bin) — so each comparison happens only between rows at most one
+    window apart, the standard interval-join lowering (Flink's interval
+    join and Databricks' range-join optimization do the same). The exact
+    predicate filters the bin-neighbour false positives afterwards.
+
+    Returns left columns + right columns (right_ts column included) for the
+    matching pairs; aggregate downstream as needed.
+    """
+    if upper_seconds <= lower_seconds:
+        raise ValueError("upper_seconds must be > lower_seconds")
+    width_us = (upper_seconds - lower_seconds) * 1_000_000
+    lo_us = lower_seconds * 1_000_000
+    up_us = upper_seconds * 1_000_000
+    lt = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    rt = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    l2 = left.withColumn(
+        "_bin",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((lt + lo_us) / width_us),
+                    F.floor((lt + up_us) / width_us),
+                )
+            )
+        ),
+    )
+    r2 = right.withColumn("_bin", F.floor(rt / width_us))
+    joined = l2.join(r2, [key, "_bin"]).drop("_bin")
+    lt_j = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    rt_j = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    return joined.where(
+        (rt_j >= lt_j + lo_us) & (rt_j <= lt_j + up_us)
+    )
 
 
 def asof_join(

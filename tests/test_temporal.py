@@ -91,3 +91,60 @@ class TestSessionize:
         assert s11.session_end == _ts("2024-01-01 10:10:00")
         assert by_key[(1, 2)].n_events == 1
         assert by_key[(2, 1)].n_events == 2
+
+
+class TestIntervalJoin:
+    def test_binned_join_equals_naive_theta_join(self, spark):
+        from pyspark.sql import functions as F
+
+        from pdf_parser_spark.operators.temporal import interval_join
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        left = ev.where(F.col("event_type") == "error").select(
+            "event_id", "user_id", F.col("ts").alias("lts")
+        )
+        right = ev.where(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("rts")
+        )
+        got = {
+            (r.event_id, r.rts)
+            for r in interval_join(
+                left, right, "user_id", "lts", "rts", -86400, 0
+            ).collect()
+        }
+        naive = {
+            (r.event_id, r.rts)
+            for r in left.join(right, "user_id")
+            .where(
+                (F.unix_micros(F.col("rts").cast("timestamp"))
+                 >= F.unix_micros(F.col("lts").cast("timestamp")) - 86400 * 1_000_000)
+                & (F.col("rts") <= F.col("lts"))
+            )
+            .collect()
+        }
+        assert got == naive and len(got) > 0
+
+    def test_window_boundaries_inclusive(self, spark):
+        from pdf_parser_spark.operators.temporal import interval_join
+
+        left = spark.createDataFrame(
+            [(1, 5, _ts("2024-01-01 12:00:00"))],
+            "event_id bigint, user_id bigint, lts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (5, _ts("2024-01-01 11:00:00"), "at-lower"),
+                (5, _ts("2024-01-01 12:00:00"), "at-upper"),
+                (5, _ts("2024-01-01 10:59:59"), "below"),
+                (5, _ts("2024-01-01 12:00:01"), "above"),
+                (6, _ts("2024-01-01 11:30:00"), "wrong-key"),
+            ],
+            "user_id bigint, rts timestamp, tag string",
+        )
+        got = {
+            r.tag
+            for r in interval_join(
+                left, right, "user_id", "lts", "rts", -3600, 0
+            ).collect()
+        }
+        assert got == {"at-lower", "at-upper"}
