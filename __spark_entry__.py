@@ -2,11 +2,14 @@
 
 entry(spark)   -> flagship classic-extraction query at sf0.001
 queries()      -> one callable per implemented operator (SURVEY.md §2 IDs
-                  plus the web-scale dedup/similarity/text-analysis ops)
-oracle_sql()   -> DuckDB-equivalent SQL per query (omitted only for
-                  genuinely non-SQL ops: PDF/HTML kernels get their oracle
-                  through the frozen goldens parquet instead, which makes
-                  even the full extraction pipeline value-checkable)
+                  plus the web-scale dedup/similarity/text-analysis/
+                  temporal/multimodal ops)
+oracle_sql()   -> DuckDB-equivalent SQL per query — EVERY query has one.
+                  The PDF/HTML kernels oracle through the frozen goldens
+                  parquet; seeded/stateful ops were made cross-engine
+                  deterministic (md5/sha256-derived hashes, coordinate-sign
+                  LSH, frozen LM/BPE artifacts embedded in the SQL,
+                  recursive-CTE BPE encode, 64-bit-vote simhash)
 
 Tables available as DuckDB views: region nation customer supplier part
 orders lineitem events documents embeddings. Corpus-shaped inputs
@@ -308,6 +311,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.array_join(F.slice(kept, 1, 15), ",").alias("labels"),
         ).orderBy("doc_id")
     q["w2_label_band_filter"] = w2_label_band_filter
+
+    # ---- S2: WARC batch source round-trip ------------------------------------
+    def s2_warc_source(spark, sf_dir):
+        # from-scratch WARC reader (ISO 28500) over a fixture derived from
+        # the corpus itself: payload bytes must round-trip exactly, so the
+        # oracle is the pages table (sha over the hex rendering — this
+        # DuckDB's sha256 is VARCHAR-only)
+        from pdf_parser_spark.sources.warc import read_warc
+        from pdf_parser_spark.sources.warc_fixture import ensure_warc_fixture
+
+        wdir = ensure_warc_fixture(ensure_corpus(sf_dir))
+        return (
+            read_warc(spark, wdir)
+            .select(
+                "url", "warc_ts",
+                F.length("html").alias("n_bytes"),
+                F.sha2(F.lower(F.hex("html")), 256).alias("payload_sha"),
+            )
+            .orderBy("url")
+        )
+    q["s2_warc_source"] = s2_warc_source
 
     # ---- F6: unknown requested fields are skipped, never errors --------------
     def f6_unknown_field_skip(spark, sf_dir):
@@ -756,6 +780,12 @@ def oracle_sql() -> dict[str, str]:
         FROM documents ORDER BY doc_id
     """
 
+    o["s2_warc_source"] = f"""
+        SELECT url, warc_ts, octet_length(html) AS n_bytes,
+               sha256(lower(hex(html))) AS payload_sha
+        FROM {pages} WHERE octet_length(html) > 0
+        ORDER BY url LIMIT 50
+    """
     o["f6_unknown_field_skip"] = f"""
         -- python strip() also removes tab/newline: whitespace-only rows raise
         -- in the kernel -> NULL; unmatched policy would yield the empty dict
