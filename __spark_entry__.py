@@ -554,6 +554,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_winnow_fingerprint"] = text_winnow_fingerprint
 
+    # ---- classic OLAP over the relational tables -----------------------------
+    # money sums use per-row integer cents (identical IEEE product both
+    # engines, then exact BIGINT addition) — a raw double SUM over 10^4 rows
+    # accumulates order-dependent error past the 1e-6 hash tolerance
+    def _cents(col):
+        return F.round(col * 100).cast("long")
+
+    def olap_pricing_summary(spark, sf_dir):
+        # TPC-H Q1 shape: filter -> group -> multiple aggregates, one
+        # map-side-combinable hash aggregate, no joins
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").cast("long").alias("sum_qty"),
+                F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+                F.sum(_cents(disc_price)).alias("sum_disc_cents"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+    q["olap_pricing_summary"] = olap_pricing_summary
+
+    def olap_regional_revenue(spark, sf_dir):
+        # Q5 shape: fact table joins BROADCAST dimension chain
+        # customer->nation->region; revenue grouped by region/nation
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        o, c = rd("orders"), rd("customer")
+        n, r = rd("nation"), rd("region")
+        dims = F.broadcast(
+            c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .select("c_custkey", "n_name", "r_name")
+        )
+        return (
+            o.join(dims, o["o_custkey"] == dims["c_custkey"])
+            .groupBy("r_name", "n_name")
+            .agg(
+                F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+            .orderBy("r_name", "n_name")
+        )
+    q["olap_regional_revenue"] = olap_regional_revenue
+
+    def olap_order_priority(spark, sf_dir):
+        # Q4 shape: LEFT SEMI join (EXISTS) from orders into lineitem,
+        # then a tiny group-by; the semi join shuffles only the keys
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        o, li = rd("orders"), rd("lineitem")
+        shipped_late = li.where(
+            F.col("l_shipdate") >= F.lit("1996-01-01")
+        ).select("l_orderkey")
+        return (
+            o.join(shipped_late, o["o_orderkey"] == shipped_late["l_orderkey"],
+                   "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority")
+        )
+    q["olap_order_priority"] = olap_order_priority
+
     # ---- temporal: as-of join + sessionization -------------------------------
     def temporal_asof_join(spark, sf_dir):
         # Spark-first ASOF: tagged union + last-ignoreNulls running window —
@@ -1214,6 +1278,35 @@ def oracle_sql() -> dict[str, str]:
         FROM h ORDER BY doc_id
     """
 
+    o["olap_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+    o["olap_regional_revenue"] = """
+        SELECT r.r_name, n.n_name,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+               count(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name ORDER BY r_name, n_name
+    """
+    o["olap_order_priority"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate >= '1996-01-01'
+        )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
     o["temporal_asof_join"] = """
         WITH o AS (
           SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
