@@ -513,6 +513,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["ann_knn_join"] = ann_knn_join
 
+    def ann_knn_join_gemm(spark, sf_dir):
+        # Arrow/BLAS scale path: per-list cogrouped GEMM, same results
+        return S.knn_join_gemm(
+            _emb(spark, sf_dir), k=3, n_lists=8, n_probe=8
+        ).orderBy("qid", "nid")
+    q["ann_knn_join_gemm"] = ann_knn_join_gemm
+
     # ---- text analysis --------------------------------------------------------
     def text_token_count(spark, sf_dir):
         return T.token_count(_docs(spark, sf_dir)).orderBy("doc_id")
@@ -1094,6 +1101,8 @@ def oracle_sql() -> dict[str, str]:
                    b.vec_id) <= 3
         ORDER BY qid, nid
     """
+
+    o["ann_knn_join_gemm"] = o["ann_knn_join"]
 
     o["text_token_count"] = """
         SELECT doc_id,

@@ -313,3 +313,21 @@ class TestKnnJoin:
         small = emb.where(F.col("vec_id") < 60)
         out = knn_join(small, k=2, n_lists=6, n_probe=2).collect()
         assert len(out) <= 60 * 2 and len(out) > 0
+
+
+class TestKnnJoinGemm:
+    def test_gemm_equals_fold_implementation(self, emb):
+        from pdf_parser_spark.operators.similarity import knn_join, knn_join_gemm
+
+        fold = {(r.qid, r.nid): r.score
+                for r in knn_join(emb, k=3, n_lists=4, n_probe=4).collect()}
+        gemm = {(r.qid, r.nid): r.score
+                for r in knn_join_gemm(emb, k=3, n_lists=4, n_probe=4).collect()}
+        assert set(fold) == set(gemm)
+        assert all(abs(fold[k] - gemm[k]) < 2e-6 for k in fold)
+
+    def test_restricted_probe_mode(self, emb):
+        from pdf_parser_spark.operators.similarity import knn_join_gemm
+
+        out = knn_join_gemm(emb, k=2, n_lists=6, n_probe=2).collect()
+        assert 0 < len(out) <= emb.count() * 2
