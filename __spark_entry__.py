@@ -679,6 +679,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["temporal_sessionize"] = temporal_sessionize
 
+    def temporal_session_window_native(spark, sf_dir):
+        # built-in-first variant: Spark's native session_window operator
+        # produces the same gap-merged sessions as operators/temporal.py's
+        # manual lag/cumsum stack — the oracle re-derives bounds with window
+        # SQL, pinning the two implementations to each other
+        e = _events(spark, sf_dir)
+        return (
+            e.groupBy(
+                "user_id",
+                F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("w"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value") * 100).cast("long").alias("total_value_cents"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+                "n_events", "total_value_cents",
+            )
+            .orderBy("user_id", "session_start")
+        )
+    q["temporal_session_window_native"] = temporal_session_window_native
+
     # ---- cleaning (C4/Gopher/RefinedWeb-style) -------------------------------
     def clean_canonical_url(spark, sf_dir):
         from pdf_parser_spark.operators import cleaning as C
@@ -1353,6 +1377,24 @@ def oracle_sql() -> dict[str, str]:
                min(ts) AS session_start, max(ts) AS session_end,
                CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
         FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+    """
+
+    o["temporal_session_window_native"] = """
+        WITH w AS (
+          SELECT user_id, ts, event_id, value,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ), s AS (
+          SELECT *, sum(CASE WHEN prev IS NULL
+                              OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM w
+        )
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+               CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
+        FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_start
     """
 
     o["clean_canonical_url"] = f"""

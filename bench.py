@@ -101,10 +101,13 @@ def main() -> int:
                 warm.append(time.perf_counter() - t0)
             timings[name] = round(min(warm), 3)
 
-        # flagship throughput: one clean, warmed pass over the kernel pipeline
-        t0 = time.perf_counter()
-        extract_pipeline(pages).select("url", "status").count()
-        extract_sec = time.perf_counter() - t0
+        # flagship throughput: best of two clean, warmed passes (same noise
+        # rationale as the per-query timings)
+        extract_sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            extract_pipeline(pages).select("url", "status").count()
+            extract_sec = min(extract_sec, time.perf_counter() - t0)
 
         total = round(sum(timings.values()), 3)
         out = {
