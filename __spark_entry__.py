@@ -728,6 +728,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return C.stopword_stats(_docs(spark, sf_dir)).orderBy("doc_id")
     q["clean_stopword_stats"] = clean_stopword_stats
 
+    def clean_line_dedup(spark, sf_dir):
+        # CCNet-style cross-document line dedup over the multi-line feed
+        # texts: the shared claim-form template lines (appearing in every
+        # feed doc) are dropped; per-document value lines survive
+        from pdf_parser_spark.operators import cleaning as C
+
+        feed = _pages(spark, sf_dir).where(F.col("url").contains("/feed/"))
+        return C.line_dedup(feed, id_col="url", max_doc_freq=1).orderBy("url")
+    q["clean_line_dedup"] = clean_line_dedup
+
     def clean_domain_stats(spark, sf_dir):
         from pdf_parser_spark.operators import cleaning as C
         return C.domain_stats(_pages(spark, sf_dir)).orderBy("host")
@@ -1467,6 +1477,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(n_stop / greatest(n_tok, 1.0), 6) AS stop_frac,
                kinds AS n_stop_kinds, kinds >= 2 AS keep
         FROM m ORDER BY doc_id
+    """
+    o["clean_line_dedup"] = f"""
+        WITH l AS (
+          SELECT url, i::INT AS pos, ls[i] AS line
+          FROM (SELECT url, string_split(text, chr(10)) AS ls
+                FROM {pages} WHERE url LIKE '%/feed/%'),
+               UNNEST(range(1, len(ls) + 1)) AS t(i)
+        ), f AS (SELECT line, count(DISTINCT url) AS df FROM l GROUP BY line),
+        k AS (SELECT l.* FROM l JOIN f USING (line) WHERE f.df <= 1),
+        r AS (
+          SELECT url, string_agg(line, chr(10) ORDER BY pos) AS text_deduped,
+                 count(*) AS n_lines_kept
+          FROM k GROUP BY url
+        ), tot AS (SELECT url, count(*) AS n_lines_total FROM l GROUP BY url)
+        SELECT p.url, COALESCE(r.text_deduped, '') AS text_deduped,
+               COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+               COALESCE(tot.n_lines_total, 0) AS n_lines_total
+        FROM (SELECT url FROM {pages} WHERE url LIKE '%/feed/%') p
+        LEFT JOIN tot USING (url) LEFT JOIN r USING (url)
+        ORDER BY url
     """
     o["clean_domain_stats"] = f"""
         SELECT regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)), ':(80|443)$', '') AS host,

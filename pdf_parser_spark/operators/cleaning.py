@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "canonicalize_url", "host_of", "scrub_pii", "repetition_flags",
-    "stopword_stats", "domain_stats", "domain_filter", "GOPHER_STOPWORDS",
+    "stopword_stats", "line_dedup", "domain_stats", "domain_filter",
+    "GOPHER_STOPWORDS",
 ]
 
 # the Gopher rule's word list (Rae et al. 2021 §A1.1: "contain at least two
@@ -162,6 +163,55 @@ def stopword_stats(
         F.round(n_stop / F.greatest(n_tok, F.lit(1.0)), 6).alias("stop_frac"),
         kinds.alias("n_stop_kinds"),
         (kinds >= min_kinds).alias("keep"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """CCNet-style cross-document line dedup: drop every line that occurs in
+    more than max_doc_freq documents (site boilerplate, cookie banners,
+    nav text), then reassemble each document's remaining lines in their
+    original order.
+
+    Shape at scale: posexplode -> one distinct-doc count per line (two
+    map-side-combinable aggregates) -> filter -> one groupBy(doc) that
+    array_sorts (pos, line) structs back into text. Shuffles carry lines,
+    never whole documents, and the frequency side can be computed on a
+    sample or a sketch at 10^12 docs without changing the plan shape.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    freq = lines.groupBy("line").agg(
+        F.countDistinct(id_col).alias("_df")
+    )
+    kept = lines.join(freq.where(F.col("_df") <= max_doc_freq), "line")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines_total"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            F.coalesce("n_lines_total", F.lit(0)).alias("n_lines_total"),
+        )
     )
 
 

@@ -90,3 +90,40 @@ class TestDomainOps:
         assert kept == {f"https://big.site/{i}" for i in range(5)}
         capped = {r.url for r in domain_filter(df, min_docs=1, max_docs=3).collect()}
         assert capped == {"https://solo.site/1"}
+
+
+class TestLineDedup:
+    def test_common_lines_dropped_order_preserved(self, spark):
+        from pdf_parser_spark.operators.cleaning import line_dedup
+
+        boiler = "COOKIE BANNER"
+        rows = [
+            (0, f"{boiler}\nunique alpha\nmiddle zero\n{boiler}"),
+            (1, f"{boiler}\nunique beta"),
+            (2, "entirely unique document"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r.doc_id: r for r in line_dedup(df, max_doc_freq=1).collect()}
+        assert out[0].text_deduped == "unique alpha\nmiddle zero"
+        assert out[0].n_lines_total == 4 and out[0].n_lines_kept == 2
+        assert out[1].text_deduped == "unique beta"
+        assert out[2].text_deduped == "entirely unique document"
+
+    def test_all_lines_dropped_yields_empty_row_not_missing(self, spark):
+        from pdf_parser_spark.operators.cleaning import line_dedup
+
+        rows = [(0, "same\nsame2"), (1, "same\nsame2")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r.doc_id: r for r in line_dedup(df, max_doc_freq=1).collect()}
+        assert set(out) == {0, 1}
+        assert out[0].text_deduped == "" and out[0].n_lines_kept == 0
+        assert out[0].n_lines_total == 2
+
+    def test_within_doc_repeats_survive_freq_filter(self, spark):
+        from pdf_parser_spark.operators.cleaning import line_dedup
+
+        rows = [(0, "twice\ntwice\nother"), (1, "unrelated")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r.doc_id: r for r in line_dedup(df, max_doc_freq=1).collect()}
+        # 'twice' occurs in only ONE doc (doc-frequency 1) -> both copies kept
+        assert out[0].text_deduped == "twice\ntwice\nother"
