@@ -452,6 +452,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
+    def dedup_ngram_jaccard_pruned(spark, sf_dir):
+        # scale-default form: stop-shingles with document frequency above
+        # max_df are pruned from the inverted index BEFORE the self-join
+        # (a shingle in M docs contributes M^2/2 join rows); the similarity
+        # stays a true Jaccard over the pruned shingle universe
+        return (
+            D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.0, max_df=100)
+            .orderBy(F.desc("jaccard"), "id_a", "id_b")
+            .limit(20)
+        )
+    q["dedup_ngram_jaccard_pruned"] = dedup_ngram_jaccard_pruned
+
     def dedup_simhash(spark, sf_dir):  # Pandas-UDF op: rows-only oracle
         return D.simhash64(_docs(spark, sf_dir)).orderBy("doc_id")
     q["dedup_simhash"] = dedup_simhash
@@ -1020,6 +1032,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT s AS doc_id, min(d) AS component FROM reach
         GROUP BY s ORDER BY doc_id
+    """
+
+    o["dedup_ngram_jaccard_pruned"] = shingle_cte + """
+        , pruned AS (
+          SELECT sh.* FROM sh
+          QUALIFY count(*) OVER (PARTITION BY sh) <= 100
+        ), sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+        common AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+          FROM pruned l JOIN pruned r ON l.sh = r.sh AND l.doc_id < r.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.0
+        ORDER BY jaccard DESC, id_a, id_b LIMIT 20
     """
 
     # SimHash: the Python kernel hashes each distinct lowercase token with

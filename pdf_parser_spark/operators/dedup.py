@@ -313,12 +313,18 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                 max_hamming: int = 3) -> DataFrame:
+                 max_hamming: int = 3,
+                 max_block: Optional[int] = None) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming.
 
     Scale path: block on 4 16-bit sub-keys (pigeonhole: any pair within
     Hamming<=3 of 64 bits agrees on at least one 16-bit block), then verify
     distance with bit_count on the xor — JVM-side.
+
+    max_block: skew cap mirroring minhash_lsh_pairs' max_bucket — a
+    degenerate block (every empty document simhashes to 0) yields M^2/2
+    verify pairs; blocks above the cap are dropped, their members being
+    exact-dup material that exact_dedup already collapses. None = exact.
     """
     sig = simhash64(df, text_col, id_col)
     blocks = F.array(*[
@@ -330,6 +336,12 @@ def simhash_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ])
     banded = sig.select(id_col, "simhash", F.explode(blocks).alias("bk"))
     banded = banded.select(id_col, "simhash", "bk.blk", "bk.key")
+    if max_block is not None:
+        sizes = banded.groupBy("blk", "key").agg(F.count(F.lit(1)).alias("_bsz"))
+        banded = (
+            banded.join(sizes.where(F.col("_bsz") <= max_block), ["blk", "key"])
+            .drop("_bsz")
+        )
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.key") == F.col("r.key"))

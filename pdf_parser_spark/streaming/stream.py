@@ -185,3 +185,52 @@ def stream_status_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_path: str,
+    checkpoint: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 4,
+) -> StreamingQuery:
+    """Streaming exact dedup: emit each normalized-content fingerprint once.
+
+    dropDuplicatesWithinWatermark keeps only fingerprints seen within the
+    watermark horizon in state — the streaming analog of the batch
+    exact_dedup hash aggregate, with BOUNDED state at web scale: a crawl
+    feed's duplicates cluster in time (re-fetches, mirrors), so a horizon
+    of hours catches them while the state store never holds the full
+    corpus's fingerprint set. Batch-global dedup remains exact_dedup /
+    resume_against; this operator is the incremental front-line filter.
+    """
+    pages = _pages_stream(spark, corpus_dir, max_files_per_trigger)
+    fp = F.substring(
+        F.sha2(
+            F.coalesce(
+                F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))),
+                F.lit(""),
+            ),
+            256,
+        ),
+        1,
+        16,
+    )
+    deduped = (
+        pages.select(
+            "url",
+            F.col("warc_ts").cast("timestamp").alias("warc_ts"),
+            fp.alias("fingerprint"),
+        )
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

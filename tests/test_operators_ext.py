@@ -331,3 +331,19 @@ class TestKnnJoinGemm:
 
         out = knn_join_gemm(emb, k=2, n_lists=6, n_probe=2).collect()
         assert 0 < len(out) <= emb.count() * 2
+
+
+class TestSimhashBlockCap:
+    def test_max_block_drops_degenerate_block(self, spark):
+        from pdf_parser_spark.operators.dedup import simhash_dups
+
+        rows = [(i, "identical text for everyone here") for i in range(6)]
+        rows += [(10, "a small matching pair of documents"),
+                 (11, "a small matching pair of documents")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        uncapped = {(r.id_a, r.id_b)
+                    for r in simhash_dups(df, max_hamming=0).collect()}
+        capped = {(r.id_a, r.id_b)
+                  for r in simhash_dups(df, max_hamming=0, max_block=3).collect()}
+        assert (10, 11) in uncapped and len(uncapped) == 15 + 1
+        assert capped == {(10, 11)}

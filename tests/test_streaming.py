@@ -101,3 +101,35 @@ class TestStatefulHostStats:
             .collect()
         }
         assert got == want
+
+
+class TestStreamExactDedup:
+    def test_stream_dedup_matches_batch_distinct(self, spark, corpus_001, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pdf_parser_spark.pipeline import load_pages
+        from pdf_parser_spark.streaming import stream_exact_dedup
+
+        out = str(tmp_path / "dedup_out")
+        q = stream_exact_dedup(spark, corpus_001, out, str(tmp_path / "ck_dd"))
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        # within one bounded drain the watermark horizon covers the whole
+        # corpus, so the stream must emit exactly the batch-distinct set
+        batch = (
+            load_pages(spark, corpus_001)
+            .select(
+                F.substring(
+                    F.sha2(
+                        F.coalesce(
+                            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))),
+                            F.lit(""),
+                        ),
+                        256,
+                    ), 1, 16,
+                ).alias("fingerprint")
+            )
+            .distinct()
+        )
+        assert got.select("fingerprint").distinct().count() == batch.count()
+        assert got.count() == got.select("fingerprint").distinct().count()
