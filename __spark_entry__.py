@@ -620,6 +620,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["olap_regional_revenue"] = olap_regional_revenue
 
+    def olap_value_quantiles(spark, sf_dir):
+        # exact distributed quantiles (Spark `percentile`, linear
+        # interpolation — same definition as DuckDB quantile_cont); the
+        # approximate scale path is percentile_approx/t-digest, kept out of
+        # the oracle query because approx results are engine-specific
+        e = _events(spark, sf_dir)
+        return (
+            e.groupBy("event_type")
+            .agg(
+                F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+                F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+                F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+                F.round(F.max("value"), 6).alias("vmax"),
+            )
+            .orderBy("event_type")
+        )
+    q["olap_value_quantiles"] = olap_value_quantiles
+
     def olap_order_priority(spark, sf_dir):
         # Q4 shape: LEFT SEMI join (EXISTS) from orders into lineitem,
         # then a tiny group-by; the semi join shuffles only the keys
@@ -1371,6 +1389,14 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name, n.n_name ORDER BY r_name, n_name
+    """
+    o["olap_value_quantiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 6) AS p25,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.75), 6) AS p75,
+               round(max(value), 6) AS vmax
+        FROM events GROUP BY event_type ORDER BY event_type
     """
     o["olap_order_priority"] = """
         SELECT o_orderpriority, count(*) AS order_count
