@@ -573,6 +573,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_winnow_fingerprint"] = text_winnow_fingerprint
 
+    # ---- training-data shaping: chunk / pack / sample ------------------------
+    def shape_chunk_documents(spark, sf_dir):
+        from pdf_parser_spark.operators import chunking as CH
+        return CH.chunk_documents(
+            _docs(spark, sf_dir), chunk_tokens=32, overlap=8
+        ).orderBy("doc_id", "chunk_idx")
+    q["shape_chunk_documents"] = shape_chunk_documents
+
+    def shape_pack_documents(spark, sf_dir):
+        # per-shard stream packing: the window partitions by shard, so no
+        # global single-partition sort exists in the plan
+        from pdf_parser_spark.operators import chunking as CH
+        d = _docs(spark, sf_dir).withColumn(
+            "shard", F.pmod("doc_id", F.lit(8)).cast("int")
+        )
+        return CH.pack_documents(
+            d, token_budget=512, shard_col="shard"
+        ).orderBy("doc_id")
+    q["shape_pack_documents"] = shape_pack_documents
+
+    def shape_deterministic_sample(spark, sf_dir):
+        from pdf_parser_spark.operators import chunking as CH
+        return (
+            CH.deterministic_sample(_docs(spark, sf_dir), rate=0.25)
+            .select("doc_id").orderBy("doc_id")
+        )
+    q["shape_deterministic_sample"] = shape_deterministic_sample
+
     # ---- classic OLAP over the relational tables -----------------------------
     # money sums use per-row integer cents (identical IEEE product both
     # engines, then exact BIGINT addition) — a raw double SUM over 10^4 rows
@@ -1370,6 +1398,39 @@ def oracle_sql() -> dict[str, str]:
         FROM h ORDER BY doc_id
     """
 
+    o["shape_chunk_documents"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+          FROM documents
+        ), c AS (
+          SELECT doc_id, (s - 1) // 24 AS chunk_idx, toks[s : s + 31] AS chunk
+          FROM d, UNNEST(range(1, greatest(len(toks) - 8, 1) + 1, 24)) AS t(s)
+        )
+        SELECT doc_id, chunk_idx::INT AS chunk_idx,
+               array_to_string(chunk, ' ') AS chunk_text,
+               len(chunk) AS n_tokens
+        FROM c ORDER BY doc_id, chunk_idx
+    """
+    o["shape_pack_documents"] = """
+        WITH d AS (
+          SELECT doc_id, (doc_id % 8)::INT AS shard,
+                 len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
+          FROM documents
+        ), s AS (
+          SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d
+        )
+        SELECT shard, doc_id, n_tokens, cum - n_tokens AS stream_offset,
+               (cum - n_tokens) // 512 AS pack_id
+        FROM s ORDER BY doc_id
+    """
+    o["shape_deterministic_sample"] = """
+        SELECT doc_id FROM documents
+        WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < 2500
+        ORDER BY doc_id
+    """
     o["olap_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
