@@ -573,6 +573,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_winnow_fingerprint"] = text_winnow_fingerprint
 
+    # ---- flagship composition: the whole modern pipeline in ONE plan ---------
+    def pipeline_extract_dedup_chunk(spark, sf_dir):
+        """extract -> exact-dedup (keep smallest url) -> quality gate ->
+        overlapping chunks: what a user actually runs end-to-end. One lazy
+        plan; Catalyst sees all of it (the dedup window and the chunk
+        fan-out fuse with the kernel's output without materialization)."""
+        from pyspark.sql import Window
+
+        from pdf_parser_spark.operators.chunking import chunk_documents
+
+        out = extract_pipeline(_pages(spark, sf_dir))
+        ok = out.where(F.col("status") == "ok").select("url", "text")
+        fp = F.substring(
+            F.sha2(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), 256),
+            1, 16,
+        )
+        w = Window.partitionBy("fingerprint").orderBy("url")
+        deduped = (
+            ok.withColumn("fingerprint", fp)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "fingerprint")
+        )
+        quality = deduped.where(
+            F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")) >= 10
+        )
+        return chunk_documents(
+            quality, text_col="text", id_col="url", chunk_tokens=64, overlap=8
+        ).orderBy("url", "chunk_idx")
+    q["pipeline_extract_dedup_chunk"] = pipeline_extract_dedup_chunk
+
     # ---- training-data shaping: chunk / pack / sample ------------------------
     def shape_chunk_documents(spark, sf_dir):
         from pdf_parser_spark.operators import chunking as CH
@@ -1398,6 +1429,34 @@ def oracle_sql() -> dict[str, str]:
         FROM h ORDER BY doc_id
     """
 
+    # composition oracle: goldens text -> row_number dedup -> token gate ->
+    # the same chunk SQL as shape_chunk_documents (chunk=64, overlap=8,
+    # stride 56)
+    o["pipeline_extract_dedup_chunk"] = f"""
+        WITH ok AS (
+          SELECT url, golden_text AS text FROM {goldens}
+          WHERE golden_text IS NOT NULL
+        ), fp AS (
+          SELECT url, text,
+                 substring(sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16) AS f
+          FROM ok
+        ), dd AS (
+          SELECT url, text FROM fp
+          QUALIFY row_number() OVER (PARTITION BY f ORDER BY url) = 1
+        ), qual AS (
+          SELECT url,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+          FROM dd
+          WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 10
+        ), c AS (
+          SELECT url, (s - 1) // 56 AS chunk_idx, toks[s : s + 63] AS chunk
+          FROM qual, UNNEST(range(1, greatest(len(toks) - 8, 1) + 1, 56)) AS t(s)
+        )
+        SELECT url, chunk_idx::INT AS chunk_idx,
+               array_to_string(chunk, ' ') AS chunk_text,
+               len(chunk) AS n_tokens
+        FROM c ORDER BY url, chunk_idx
+    """
     o["shape_chunk_documents"] = """
         WITH d AS (
           SELECT doc_id,

@@ -33,6 +33,7 @@ from pdf_parser_spark.session import get_spark  # noqa: E402
 # headline subset: flagship kernel pipeline + one per operator family.
 HEADLINE = [
     "extract_classic_pipeline",   # P1-P8: the BASELINE.json metric object
+    "pipeline_extract_dedup_chunk",  # extract->dedup->quality->chunk, one plan
     "extract_error_accounting",   # A1/A2
     "p4_regex_fields",            # P4-P6 JVM-side regex path
     "p12_display_name_join",      # broadcast join
