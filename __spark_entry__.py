@@ -271,6 +271,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("event_id")
     q["p11_json_sniff"] = p11_json_sniff
 
+    # ---- P11b: typed JSON parsing (from_json, not the regex sniff) -----------
+    def p11b_typed_json_parse(spark, sf_dir):
+        e = _events(spark, sf_dir)
+        parsed = F.from_json(F.col("props"), "k INT")
+        return e.select(
+            "event_id",
+            parsed["k"].alias("k"),
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k2"),
+        ).orderBy("event_id")
+    q["p11b_typed_json_parse"] = p11b_typed_json_parse
+
     # ---- P12: display-name broadcast join ------------------------------------
     def p12_display_name_join(spark, sf_dir):
         d = _docs(spark, sf_dir)
@@ -953,6 +964,12 @@ def oracle_sql() -> dict[str, str]:
     o["p11_json_sniff"] = """
         SELECT event_id, regexp_extract(props, '(\\{.*\\})', 1) AS json_blob,
                CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS k
+        FROM events ORDER BY event_id
+    """
+    o["p11b_typed_json_parse"] = """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k2
         FROM events ORDER BY event_id
     """
     o["p12_display_name_join"] = """

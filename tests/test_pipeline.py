@@ -165,3 +165,34 @@ class TestAiMode:
         out = extract_pipeline(df, method="ai").collect()[0]
         assert out.method == "ai"
         assert out.fields_json == '{"customer_name": "John Doe", "policy_number": "POL-123"}'
+
+
+class TestAdversarialInputs:
+    def test_hostile_rows_surface_never_vanish(self, spark):
+        # the per-row error-isolation contract: every input row comes back
+        # as exactly one output row (ok or error), regardless of payload
+        import datetime
+
+        from pdf_parser_spark.pipeline import extract_pipeline
+
+        ts = datetime.datetime(2024, 1, 1)
+        rows = [
+            ("u/null", ts, None, "", "en"),
+            ("u/trunc.pdf", ts, b"%PDF-1.4 broken" + b"x" * 200, "", "en"),
+            ("u/bad-utf8.html", ts,
+             b"<html><body>" + bytes(range(128, 256)) * 4 + b"</body></html>",
+             "", "en"),
+            ("u/deep.html", ts,
+             b"<html><body>" + b"<div>" * 3000 + b"claim text"
+             + b"</div>" * 3000 + b"</body></html>", "", "en"),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        out = {r.url: r for r in
+               extract_pipeline(df).select("url", "status", "error").collect()}
+        assert len(out) == 4
+        assert out["u/null"].status == "error"
+        assert out["u/trunc.pdf"].status == "error"
+        assert out["u/bad-utf8.html"].status in ("ok", "error")
+        assert all(r.status in ("ok", "error") for r in out.values())

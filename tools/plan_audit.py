@@ -22,6 +22,8 @@ DEFAULT = [
     "w1_topk_limit", "dedup_exact", "dedup_minhash_lsh_pairs",
     "dedup_minhash_lsh_pairs_capped", "ann_bruteforce_topk", "ann_knn_join",
     "ann_bucketed_near_dup", "text_quality_score", "f1_f2_size_filter",
+    "pipeline_extract_dedup_chunk", "shape_pack_documents",
+    "temporal_asof_join", "temporal_interval_join",
 ]
 
 
