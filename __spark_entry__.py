@@ -49,6 +49,10 @@ CORPUS_01 = corpus_dir_for(0.01)  # oracle scale: driver compares at sf0.01
 ensure_corpus(0.001)
 ensure_corpus(0.01)
 
+from pdf_parser_spark.sources.av_fixture import ensure_av_fixture  # noqa: E402
+
+AV_01 = ensure_av_fixture(CORPUS_01)
+
 MAX_SIZE = 50 * 1024 * 1024
 MIN_SIZE = 100
 
@@ -877,6 +881,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _bytes_csv(F.col("frame_features")).alias("features_b"),
         ).orderBy("url", "frame_idx")
     q["media_frame_sample"] = media_frame_sample
+
+    def media_wav_metadata(spark, sf_dir):
+        # real audio-container decode (from-scratch RIFF/WAVE walk) over a
+        # deterministic fixture; the oracle re-derives every field with
+        # little-endian byte arithmetic on hex(payload)
+        from pdf_parser_spark.sources.av_fixture import ensure_av_fixture
+
+        path = ensure_av_fixture(ensure_corpus(sf_dir))
+        df = spark.read.parquet(path)
+        return M.media_av_metadata(df, bin_col="payload").orderBy("url")
+    q["media_wav_metadata"] = media_wav_metadata
 
     return q
 
@@ -1725,6 +1740,37 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT url, frame_idx, offset_frac, {fb('whex', 8)} AS features_b
         FROM w ORDER BY url, frame_idx
+    """
+    # canonical 44-byte WAV header fields re-derived with little-endian
+    # byte arithmetic over hex(payload)
+    def wb(i: int) -> str:
+        return f"('0x' || substring(h, {2 * i + 1}, 2))::BIGINT"
+
+    def le16(i: int) -> str:
+        return f"({wb(i)} + 256 * {wb(i + 1)})"
+
+    def le32(i: int) -> str:
+        return (f"({wb(i)} + 256 * {wb(i + 1)} + 65536 * {wb(i + 2)}"
+                f" + 16777216 * {wb(i + 3)})")
+
+    o["media_wav_metadata"] = f"""
+        WITH p AS (SELECT url, hex(payload) AS h FROM read_parquet('{AV_01}')),
+        m AS (
+          SELECT url,
+            CASE WHEN substring(h, 1, 8) = '52494646'
+                  AND substring(h, 17, 8) = '57415645' THEN 'wav'
+                 WHEN substring(h, 1, 8) = '52494646' THEN 'riff'
+                 ELSE 'unknown' END AS media_kind, h
+          FROM p
+        )
+        SELECT url, media_kind,
+          CASE WHEN media_kind = 'wav' THEN {le16(22)}::INT END AS channels,
+          CASE WHEN media_kind = 'wav' THEN {le32(24)}::INT END AS sample_rate,
+          CASE WHEN media_kind = 'wav' THEN {le16(34)}::INT END AS bits_per_sample,
+          CASE WHEN media_kind = 'wav'
+               THEN CAST(round({le32(40)} * 1000.0 / {le32(28)}) AS BIGINT)
+          END AS duration_ms
+        FROM m ORDER BY url
     """
     o["media_metadata"] = f"""
         SELECT url, COALESCE(octet_length(html), 0) AS n_bytes,

@@ -23,7 +23,7 @@ from pyspark.sql.types import (
 
 __all__ = [
     "media_metadata", "media_features", "decode_image", "pixel_features",
-    "image_resize", "frame_sample",
+    "image_resize", "frame_sample", "parse_riff_wav", "media_av_metadata",
 ]
 
 # magic-number sniffing, all JVM-side (hex compare on the first bytes)
@@ -56,6 +56,91 @@ def media_metadata(df: DataFrame, bin_col: str = "html", key_col: str = "url") -
         F.coalesce(F.length(F.col(bin_col)), F.lit(0)).alias("n_bytes"),
         kind.alias("media_kind"),
     )
+
+
+def parse_riff_wav(payload: bytes) -> dict:
+    """From-scratch RIFF/WAVE metadata parse (public container format).
+
+    Walks the RIFF chunk list for 'fmt ' and 'data', returning channels,
+    sample rate, bits per sample, and duration — the typed metadata an
+    audio pipeline partitions/filters on, without decoding samples.
+    Raises ValueError for non-WAV or malformed payloads.
+    """
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data_len = None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("WAVE without fmt chunk")
+    _audio_format, channels, sample_rate, byte_rate, _align, bits = fmt
+    duration_ms = None
+    if data_len is not None and byte_rate:
+        duration_ms = int(round(data_len * 1000 / byte_rate))
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bits_per_sample": bits,
+        "data_bytes": data_len,
+        "duration_ms": duration_ms,
+    }
+
+
+AV_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("media_kind", StringType()),
+    StructField("channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("bits_per_sample", IntegerType()),
+    StructField("duration_ms", LongType()),
+])
+
+
+def media_av_metadata(
+    df: DataFrame, bin_col: str = "html", key_col: str = "url"
+) -> DataFrame:
+    """Typed audio metadata over opaque binary payloads: WAV payloads parse
+    for real (parse_riff_wav); anything else yields NULL fields with the
+    sniffed kind — per-row isolation, one bad container never kills a task.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict = {k.name: [] for k in AV_SCHEMA.fields}
+            for url, payload in zip(pdf[key_col], pdf[bin_col]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = None
+                kind = "unknown"
+                if payload[:4] == b"RIFF":
+                    kind = "riff"
+                    try:
+                        meta = parse_riff_wav(payload)
+                        kind = "wav"
+                    except ValueError:
+                        meta = None
+                out["url"].append(url)
+                out["media_kind"].append(kind)
+                out["channels"].append(meta["channels"] if meta else None)
+                out["sample_rate"].append(meta["sample_rate"] if meta else None)
+                out["bits_per_sample"].append(
+                    meta["bits_per_sample"] if meta else None
+                )
+                out["duration_ms"].append(meta["duration_ms"] if meta else None)
+            yield pd.DataFrame(out)
+
+    return df.select(key_col, bin_col).mapInPandas(kernel, AV_SCHEMA)
 
 
 def decode_image(payload: bytes) -> "np.ndarray":

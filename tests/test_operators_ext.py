@@ -347,3 +347,55 @@ class TestSimhashBlockCap:
                   for r in simhash_dups(df, max_hamming=0, max_block=3).collect()}
         assert (10, 11) in uncapped and len(uncapped) == 15 + 1
         assert capped == {(10, 11)}
+
+
+class TestRiffWav:
+    def _wav_bytes(self, channels=2, rate=8000, frames=4000, width=2):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(b"\x00" * (frames * channels * width))
+        w.close()
+        return buf.getvalue()
+
+    def test_parse_real_wav(self):
+        from pdf_parser_spark.operators.multimodal import parse_riff_wav
+
+        meta = parse_riff_wav(self._wav_bytes(channels=2, rate=8000, frames=4000))
+        assert meta["channels"] == 2 and meta["sample_rate"] == 8000
+        assert meta["bits_per_sample"] == 16
+        assert meta["duration_ms"] == 500  # 4000 frames at 8 kHz
+
+    def test_rejects_non_wav(self):
+        import pytest as _pytest
+
+        from pdf_parser_spark.operators.multimodal import parse_riff_wav
+
+        with _pytest.raises(ValueError):
+            parse_riff_wav(b"RIFF\x00\x00\x00\x00AVI LIST")
+        with _pytest.raises(ValueError):
+            parse_riff_wav(b"\x89PNG not riff at all")
+
+    def test_media_av_metadata_isolation(self, spark):
+        from pdf_parser_spark.operators.multimodal import media_av_metadata
+
+        rows = [
+            ("wav", bytearray(self._wav_bytes(channels=1, rate=16000, frames=16000))),
+            ("riff-but-not-wav", bytearray(b"RIFF\x08\x00\x00\x00AVI LIST")),
+            ("junk", bytearray(b"not even riff")),
+            ("empty", None),
+        ]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        got = {r.url: r for r in media_av_metadata(df).collect()}
+        assert len(got) == 4
+        assert got["wav"].media_kind == "wav" and got["wav"].sample_rate == 16000
+        assert got["wav"].duration_ms == 1000
+        assert got["riff-but-not-wav"].media_kind == "riff"
+        assert got["riff-but-not-wav"].channels is None
+        assert got["junk"].media_kind == "unknown"
+        assert got["empty"].media_kind == "unknown"
