@@ -588,6 +588,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_winnow_fingerprint"] = text_winnow_fingerprint
 
+    # ---- relational-surface breadth: pivot / rollup / set ops / UDAF ---------
+    def olap_event_pivot(spark, sf_dir):
+        e = _events(spark, sf_dir)
+        kinds = ["click", "error", "purchase", "signup", "view"]
+        return (
+            e.withColumn("cohort", F.pmod("user_id", F.lit(10)))
+            .groupBy("cohort")
+            .pivot("event_type", kinds)
+            .count()
+            .orderBy("cohort")
+        )
+    q["olap_event_pivot"] = olap_event_pivot
+
+    def olap_priority_rollup(spark, sf_dir):
+        o_ = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        return (
+            o_.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+            .orderBy("gid", "o_orderpriority", "o_orderstatus")
+        )
+    q["olap_priority_rollup"] = olap_priority_rollup
+
+    def set_ops_feed_vs_ok(spark, sf_dir):
+        # §2.7: INTERSECT/EXCEPT — feed urls that did / did not extract ok
+        p = _pages(spark, sf_dir)
+        feed = p.where(F.col("url").contains("/feed/")).select("url")
+        ok = (
+            extract_pipeline(p).where(F.col("status") == "ok").select("url")
+        )
+        inter = feed.intersect(ok).withColumn("op", F.lit("intersect"))
+        diff = feed.exceptAll(ok).withColumn("op", F.lit("except"))
+        return inter.unionByName(diff).orderBy("op", "url")
+    q["set_ops_feed_vs_ok"] = set_ops_feed_vs_ok
+
+    def udaf_geomean_chars(spark, sf_dir):
+        # §2.10 UDAF: grouped-agg pandas UDF (Arrow series -> scalar)
+        import numpy as np
+        import pandas as pd
+
+        # no annotations (PEP-563 module): declare the grouped-agg shape via
+        # functionType instead of the series -> scalar type hints
+        from pyspark.sql.functions import PandasUDFType
+
+        @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+        def geomean(v):
+            return float(np.exp(np.log(v.astype("float64") + 1.0).mean()))
+
+        d = _docs(spark, sf_dir)
+        return (
+            d.groupBy("lang")
+            .agg(F.round(geomean(F.col("n_chars")), 6).alias("geomean_chars"))
+            .orderBy("lang")
+        )
+    q["udaf_geomean_chars"] = udaf_geomean_chars
+
+    def udf_groupmap_zscore(spark, sf_dir):
+        # §2.10 grouped-map UDF: applyInPandas normalizing within groups
+        def z(pdf):
+            x = pdf["n_chars"].astype("float64")
+            s = x.std()  # ddof=1, matching SQL stddev_samp
+            pdf = pdf[["doc_id"]].copy()
+            pdf["z"] = ((x - x.mean()) / s).round(6)
+            return pdf
+
+        d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        return (
+            d.groupBy("lang").applyInPandas(z, "doc_id long, z double")
+            .orderBy("doc_id")
+        )
+    q["udf_groupmap_zscore"] = udf_groupmap_zscore
+
     # ---- flagship composition: the whole modern pipeline in ONE plan ---------
     def pipeline_extract_dedup_chunk(spark, sf_dir):
         """extract -> exact-dedup (keep smallest url) -> quality gate ->
@@ -1459,6 +1530,40 @@ def oracle_sql() -> dict[str, str]:
                       w -> list_aggregate(hashes[w:w+3], 'min'))))
           END AS n_fingerprints
         FROM h ORDER BY doc_id
+    """
+
+    o["olap_event_pivot"] = """
+        SELECT user_id % 10 AS cohort,
+               sum(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               sum(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               sum(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               sum(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY 1 ORDER BY cohort
+    """
+    o["olap_priority_rollup"] = """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS gid
+        FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        ORDER BY gid, o_orderpriority, o_orderstatus
+    """
+    o["set_ops_feed_vs_ok"] = f"""
+        WITH feed AS (SELECT url FROM {pages} WHERE url LIKE '%/feed/%'),
+        ok AS (SELECT url FROM {goldens} WHERE golden_text IS NOT NULL)
+        SELECT url, 'intersect' AS op FROM (SELECT url FROM feed INTERSECT SELECT url FROM ok)
+        UNION ALL
+        SELECT url, 'except' AS op FROM (SELECT url FROM feed EXCEPT SELECT url FROM ok)
+        ORDER BY op, url
+    """
+    o["udaf_geomean_chars"] = """
+        SELECT lang, round(exp(avg(ln(n_chars + 1.0))), 6) AS geomean_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+    o["udf_groupmap_zscore"] = """
+        SELECT doc_id,
+               round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                     / stddev_samp(n_chars) OVER (PARTITION BY lang), 6) AS z
+        FROM documents ORDER BY doc_id
     """
 
     # composition oracle: goldens text -> row_number dedup -> token gate ->
