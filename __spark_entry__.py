@@ -348,6 +348,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["s2_warc_source"] = s2_warc_source
 
+    def s2_warc_datasource(spark, sf_dir):
+        # the same archives through the custom Spark 4 Python DataSource
+        # (spark.read.format('warc')) — one partition per archive file
+        from pdf_parser_spark.sources.warc_datasource import register_warc_source
+        from pdf_parser_spark.sources.warc_fixture import ensure_warc_fixture
+
+        wdir = ensure_warc_fixture(ensure_corpus(sf_dir))
+        register_warc_source(spark)
+        return (
+            spark.read.format("warc").load(wdir)
+            .select(
+                "url", "warc_ts",
+                F.length("html").alias("n_bytes"),
+                F.sha2(F.lower(F.hex("html")), 256).alias("payload_sha"),
+            )
+            .orderBy("url")
+        )
+    q["s2_warc_datasource"] = s2_warc_datasource
+
     # ---- F6: unknown requested fields are skipped, never errors --------------
     def f6_unknown_field_skip(spark, sf_dir):
         # reference pin: classic_extractor.py:86-88 via tests/test_extractors.py
@@ -1083,6 +1102,7 @@ def oracle_sql() -> dict[str, str]:
         FROM {pages} WHERE octet_length(html) > 0
         ORDER BY url LIMIT 50
     """
+    o["s2_warc_datasource"] = o["s2_warc_source"]
     o["f6_unknown_field_skip"] = f"""
         -- python strip() also removes tab/newline: whitespace-only rows raise
         -- in the kernel -> NULL; unmatched policy would yield the empty dict

@@ -188,3 +188,33 @@ class TestSinks:
         cols = [f.name for f in spark.table("t_out_test").schema.fields]
         assert cols[:3] == ["url", "warc_ts", "file_hash"]
         spark.sql("DROP TABLE t_out_test")
+
+
+class TestWarcDataSource:
+    def test_format_warc_equals_mapinpandas_reader(self, spark, tmp_path):
+        from pdf_parser_spark.corpus import ensure_corpus
+        from pdf_parser_spark.sources.warc import read_warc
+        from pdf_parser_spark.sources.warc_datasource import register_warc_source
+        from pdf_parser_spark.sources.warc_fixture import ensure_warc_fixture
+
+        wdir = ensure_warc_fixture(ensure_corpus(0.001))
+        register_warc_source(spark)
+        via_ds = {
+            (r.url, r.warc_ts, bytes(r.html))
+            for r in spark.read.format("warc").load(wdir).collect()
+        }
+        via_mp = {
+            (r.url, r.warc_ts, bytes(r.html))
+            for r in read_warc(spark, wdir).collect()
+        }
+        assert via_ds == via_mp and len(via_ds) > 0
+
+    def test_one_partition_per_archive(self, spark):
+        from pdf_parser_spark.corpus import ensure_corpus
+        from pdf_parser_spark.sources.warc_datasource import register_warc_source
+        from pdf_parser_spark.sources.warc_fixture import ensure_warc_fixture
+
+        wdir = ensure_warc_fixture(ensure_corpus(0.001))
+        register_warc_source(spark)
+        df = spark.read.format("warc").load(wdir)
+        assert df.rdd.getNumPartitions() == 1  # fixture has one archive
