@@ -1,0 +1,80 @@
+"""Production entry point: the curation pipeline under spark-submit.
+
+Runs the full training-data path over a pages table in ONE Spark plan:
+extract -> exact-dedup (smallest url survives) -> token-count quality
+gate -> overlapping token chunks, written as parquet.
+
+    python tools/package.py
+    spark-submit --py-files dist/pdf_parser_spark.zip jobs/curate_job.py \
+        --input s3://bucket/pages_table --output s3://bucket/chunks \
+        --chunk-tokens 2048 --overlap 64 --min-tokens 50
+
+Local smoke:
+
+    python jobs/curate_job.py --input /root/repo/.corpus/sf0.001 \
+        --output /tmp/curate_out
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="extract -> dedup -> chunk job")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--chunk-tokens", type=int, default=2048)
+    ap.add_argument("--overlap", type=int, default=64)
+    ap.add_argument("--min-tokens", type=int, default=10)
+    ap.add_argument("--sample-rate", type=float, default=None,
+                    help="deterministic hash-threshold sampling by url")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("pdf-parser-spark-curate").getOrCreate()
+    from pdf_parser_spark.operators.chunking import (
+        chunk_documents, deterministic_sample,
+    )
+    from pdf_parser_spark.pipeline import extract_pipeline, load_pages
+
+    pages = load_pages(spark, args.input)
+    ok = (
+        extract_pipeline(pages)
+        .where(F.col("status") == "ok")
+        .select("url", "text")
+    )
+    fp = F.substring(
+        F.sha2(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), 256), 1, 16
+    )
+    w = Window.partitionBy("fingerprint").orderBy("url")
+    deduped = (
+        ok.withColumn("fingerprint", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "fingerprint")
+    )
+    quality = deduped.where(
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        >= args.min_tokens
+    )
+    if args.sample_rate is not None:
+        quality = deterministic_sample(quality, key_col="url", rate=args.sample_rate)
+    chunks = chunk_documents(
+        quality, text_col="text", id_col="url",
+        chunk_tokens=args.chunk_tokens, overlap=args.overlap,
+    )
+    chunks.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"chunks written: {n}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

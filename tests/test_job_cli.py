@@ -54,3 +54,32 @@ class TestExtractJobCli:
             f"SELECT sum(docs), sum(ok), sum(errors) FROM read_parquet('{lin}/*.parquet')"
         ).fetchone()
         assert tuple(int(x) for x in rows) == (100, 84, 16)
+
+
+class TestCurateJobCli:
+    def test_end_to_end_chunks(self, corpus, tmp_path):
+        out = str(tmp_path / "chunks")
+        r = subprocess.run(
+            [sys.executable, "jobs/curate_job.py", "--input", corpus,
+             "--output", out, "--chunk-tokens", "64", "--overlap", "8"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        rows = duckdb.sql(
+            f"SELECT count(*), count(DISTINCT url), max(n_tokens) "
+            f"FROM read_parquet('{out}/*.parquet')"
+        ).fetchone()
+        assert rows[0] > 0 and rows[1] > 0 and rows[2] <= 64
+
+    def test_sampling_flag_reduces_docs(self, corpus, tmp_path):
+        out = str(tmp_path / "chunks_s")
+        r = subprocess.run(
+            [sys.executable, "jobs/curate_job.py", "--input", corpus,
+             "--output", out, "--sample-rate", "0.3"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        n_docs = duckdb.sql(
+            f"SELECT count(DISTINCT url) FROM read_parquet('{out}/*.parquet')"
+        ).fetchone()[0]
+        assert 0 < n_docs < 84  # strict subset of the 84 ok docs
