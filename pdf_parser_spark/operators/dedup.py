@@ -84,9 +84,17 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Distinct word n-gram shingles per document, as (id, shingle) rows.
 
     Pure JVM: split -> sequence -> transform(slice+concat_ws) -> explode.
+
+    Documents with fewer than n tokens yield NO shingles: sequence(1, 0)
+    would otherwise produce a DESCENDING [1, 0] whose 0 start crashes
+    slice() — a short/empty document must never kill a task (found by the
+    differential fuzz gate, tests/test_oracle_fuzz.py).
     """
     tokens = F.split(normalized(F.col(text_col)), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    idx = F.when(
+        F.size(tokens) >= n,
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))

@@ -1,0 +1,106 @@
+"""Differential fuzz: Spark operators vs their DuckDB oracle math on random
+documents (seeded). The driver's correctness gate runs one fixed dataset;
+this gate proves the oracle transcriptions (md5 bit-voting, rolling-hash
+window minima, band keys) hold across many random shapes — empty strings,
+repeated tokens, unicode letters, long runs — not just the corpus.
+
+Content stays ASCII-whitespace-separated: engine Unicode *semantics* (what
+counts as whitespace/case) are out of scope here, the algorithms are in.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+
+def _random_docs(seed: int, n: int = 40):
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "Gamma", "DELTA", "épsilon", "zeta", "0xff",
+             "a", "bb", "ccc", "x-y", "über", "naïve", "'quote'", "commas,"]
+    docs = []
+    for i in range(n):
+        k = rng.randrange(0, 30)
+        body = " ".join(rng.choice(words) for _ in range(k))
+        if rng.random() < 0.15:
+            body = body + " " + body  # duplication pressure
+        docs.append((i, body))
+    docs.append((n, ""))  # empty
+    docs.append((n + 1, "   "))
+    docs.append((n + 2, "repeat " * 50))
+    return docs
+
+
+@pytest.fixture(scope="module", params=[7, 1234, 99999])
+def tables(request, spark):
+    docs = _random_docs(request.param)
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    return df, con
+
+
+def _oracle(name: str) -> str:
+    import __spark_entry__ as e
+
+    return e.oracle_sql()[name]
+
+
+class TestOracleFuzz:
+    def test_simhash_bit_voting(self, tables):
+        from pdf_parser_spark.operators.dedup import simhash64
+
+        df, con = tables
+        got = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+        want = dict(con.execute(_oracle("dedup_simhash")).fetchall())
+        assert got == want
+
+    def test_winnow_window_minima(self, tables):
+        from pyspark.sql import functions as F
+
+        from pdf_parser_spark.operators.textstats import winnow_fingerprint
+
+        df, con = tables
+        got = {
+            r.doc_id: r.n
+            for r in winnow_fingerprint(df)
+            .select("doc_id", F.size("fingerprints").alias("n")).collect()
+        }
+        want = dict(con.execute(_oracle("text_winnow_fingerprint")).fetchall())
+        assert got == want
+
+    def test_minhash_signatures(self, tables):
+        from pdf_parser_spark.operators.dedup import minhash_signatures
+
+        df, con = tables
+        got = {
+            r.doc_id: tuple(r[f"mh_{i}"] for i in range(8))
+            for r in minhash_signatures(df, num_hashes=8).collect()
+        }
+        want = {
+            row[0]: tuple(row[1:])
+            for row in con.execute(_oracle("dedup_minhash_signatures")).fetchall()
+        }
+        assert got == want
+
+    def test_lsh_pair_sets(self, tables):
+        from pdf_parser_spark.operators.dedup import minhash_lsh_pairs
+
+        df, con = tables
+        got = {(r.id_a, r.id_b)
+               for r in minhash_lsh_pairs(df, num_hashes=16, bands=8).collect()}
+        want = {tuple(r)
+                for r in con.execute(_oracle("dedup_minhash_lsh_pairs")).fetchall()}
+        assert got == want
+
+    def test_exact_dedup_fingerprints(self, tables):
+        from pdf_parser_spark.operators.dedup import exact_dedup
+
+        df, con = tables
+        got = {(r.fingerprint, r.keep_id, r.n_dups)
+               for r in exact_dedup(df).collect()}
+        want = {tuple(r) for r in con.execute(_oracle("dedup_exact")).fetchall()}
+        assert got == want
