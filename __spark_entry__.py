@@ -1090,9 +1090,9 @@ def oracle_sql() -> dict[str, str]:
     """
     o["w2_label_band_filter"] = """
         SELECT doc_id,
-          array_to_string(
+          COALESCE(array_to_string(
             list_filter(string_split(text, ' '), x -> length(trim(x)) > 2 AND length(trim(x)) < 40)[1:15],
-            ',') AS labels
+            ','), '') AS labels
         FROM documents ORDER BY doc_id
     """
 
@@ -1396,16 +1396,20 @@ def oracle_sql() -> dict[str, str]:
              + CASE WHEN n_upper / greatest(n_chars, 1.0) <= 0.3 THEN 400 ELSE 200 END)::BIGINT AS quality
         FROM m ORDER BY doc_id
     """
+    # token-exact marker counting (mirrors textstats.LANG_MARKERS): \\b-regex
+    # diverges between Java (Unicode word chars) and RE2 (ASCII) boundaries
     markers = [
-        ("en", "\\b(the|and|is|of|to|in)\\b"),
-        ("es", "\\b(el|la|los|las|de|y|es)\\b"),
-        ("pl", "\\b(i|w|z|na|si(ę)|jest|nie)\\b"),
-        ("de", "\\b(der|die|das|und|ist|nicht)\\b"),
-        ("fr", "\\b(le|la|les|et|est|ne|pas)\\b"),
+        ("en", ["the", "and", "is", "of", "to", "in"]),
+        ("es", ["el", "la", "los", "las", "de", "y", "es"]),
+        ("pl", ["i", "w", "z", "na", "się", "jest", "nie"]),
+        ("de", ["der", "die", "das", "und", "ist", "nicht"]),
+        ("fr", ["le", "la", "les", "et", "est", "ne", "pas"]),
     ]
+    def _inlist(words):
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
     cnt = ", ".join(
-        f"length(regexp_extract_all({norm}, '{pat}')) AS c_{lang}"
-        for lang, pat in markers
+        f"len(list_filter(string_split({norm}, ' '), x -> list_contains({_inlist(words)}, x))) AS c_{lang}"
+        for lang, words in markers
     )
     best = "greatest(" + ", ".join(f"c_{lang}" for lang, _ in markers) + ")"
     pred = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
@@ -1610,8 +1614,8 @@ def oracle_sql() -> dict[str, str]:
           FROM qual, UNNEST(range(1, greatest(len(toks) - 8, 1) + 1, 56)) AS t(s)
         )
         SELECT url, chunk_idx::INT AS chunk_idx,
-               array_to_string(chunk, ' ') AS chunk_text,
-               len(chunk) AS n_tokens
+               COALESCE(array_to_string(chunk, ' '), '') AS chunk_text,
+               COALESCE(len(chunk), 0) AS n_tokens
         FROM c ORDER BY url, chunk_idx
     """
     o["shape_chunk_documents"] = """
@@ -1624,8 +1628,8 @@ def oracle_sql() -> dict[str, str]:
           FROM d, UNNEST(range(1, greatest(len(toks) - 8, 1) + 1, 24)) AS t(s)
         )
         SELECT doc_id, chunk_idx::INT AS chunk_idx,
-               array_to_string(chunk, ' ') AS chunk_text,
-               len(chunk) AS n_tokens
+               COALESCE(array_to_string(chunk, ' '), '') AS chunk_text,
+               COALESCE(len(chunk), 0) AS n_tokens
         FROM c ORDER BY doc_id, chunk_idx
     """
     o["shape_pack_documents"] = """
@@ -1796,17 +1800,22 @@ def oracle_sql() -> dict[str, str]:
         FROM m ORDER BY doc_id
     """
     _stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    _slist = "[" + ", ".join(f"'{w}'" for w in _stops) + "]"
     _kinds = " + ".join(
-        f"CASE WHEN length(regexp_extract_all(lower(text), '\\b{w}\\b')) > 0 THEN 1 ELSE 0 END"
+        f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
         for w in _stops
     )
     o["clean_stopword_stats"] = f"""
-        WITH m AS (
+        WITH t AS (
           SELECT doc_id,
-            length(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))::DOUBLE AS n_tok,
-            length(regexp_extract_all(lower(text), '\\b({'|'.join(_stops)})\\b'))::DOUBLE AS n_stop,
-            ({_kinds}) AS kinds
+            list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
           FROM documents
+        ), m AS (
+          SELECT doc_id,
+            len(toks)::DOUBLE AS n_tok,
+            len(list_filter(toks, x -> list_contains({_slist}, x)))::DOUBLE AS n_stop,
+            ({_kinds}) AS kinds
+          FROM t
         )
         SELECT doc_id, round(n_stop / greatest(n_tok, 1.0), 6) AS stop_frac,
                kinds AS n_stop_kinds, kinds >= 2 AS keep

@@ -145,18 +145,19 @@ def stopword_stats(
 ) -> DataFrame:
     """Gopher's stopword rule: keep documents containing at least min_kinds
     DISTINCT words from the 8-word English stopword list, plus the stopword
-    token fraction as a quality signal. Pure JVM regex counting."""
-    t = F.lower(F.col(text_col))
-    n_tok = F.size(
-        F.filter(F.split(t, r"\s+"), lambda x: x != "")
-    ).cast("double")
-    any_stop = "|".join(GOPHER_STOPWORDS)
+    token fraction as a quality signal. Token-exact matching (pure JVM
+    array ops) — \\b-regex counting diverges between Unicode-aware (Java)
+    and ASCII (RE2) word boundaries on non-ASCII-adjacent text."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    n_tok = F.size(toks).cast("double")
     n_stop = F.size(
-        F.regexp_extract_all(t, F.lit(rf"\b({any_stop})\b"), 0)
+        F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS))
     ).cast("double")
     kinds = None
     for w in GOPHER_STOPWORDS:
-        hit = (F.size(F.regexp_extract_all(t, F.lit(rf"\b{w}\b"), 0)) > 0).cast("int")
+        hit = (F.array_contains(toks, w)).cast("int")
         kinds = hit if kinds is None else kinds + hit
     return df.select(
         F.col(id_col),

@@ -65,24 +65,28 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-# (language, marker regex) — tiny deterministic stopword n-gram heuristic.
-# Order matters: ties break toward the earlier entry.
-LANG_MARKERS: List[Tuple[str, str]] = [
-    ("en", r"\b(the|and|is|of|to|in)\b"),
-    ("es", r"\b(el|la|los|las|de|y|es)\b"),
-    ("pl", r"\b(i|w|z|na|si(ę)|jest|nie)\b"),
-    ("de", r"\b(der|die|das|und|ist|nicht)\b"),
-    ("fr", r"\b(le|la|les|et|est|ne|pas)\b"),
+# (language, marker words) — tiny deterministic stopword heuristic.
+# Order matters: ties break toward the earlier entry. Matching is
+# TOKEN-EXACT (whole whitespace tokens), not \b-regex: Java's \b is
+# Unicode-aware while RE2's is ASCII, so `\bna\b` matches inside "naïve"
+# on one engine and not the other — found by the differential fuzz gate.
+LANG_MARKERS: List[Tuple[str, List[str]]] = [
+    ("en", ["the", "and", "is", "of", "to", "in"]),
+    ("es", ["el", "la", "los", "las", "de", "y", "es"]),
+    ("pl", ["i", "w", "z", "na", "się", "jest", "nie"]),
+    ("de", ["der", "die", "das", "und", "ist", "nicht"]),
+    ("fr", ["le", "la", "les", "et", "est", "ne", "pas"]),
 ]
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-marker language ID. Pure JVM regex counting + a CASE argmax
-    with deterministic tie-breaking (list order)."""
-    t = normalized(F.col(text_col))
+    """Stopword-marker language ID: count whole-token marker hits per
+    language (pure JVM array ops) + a CASE argmax with deterministic
+    tie-breaking (list order)."""
+    toks = F.split(normalized(F.col(text_col)), " ")
     counts = [
-        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"c_{lang}")
-        for lang, pat in LANG_MARKERS
+        F.size(F.filter(toks, lambda x: x.isin(*words))).alias(f"c_{lang}")
+        for lang, words in LANG_MARKERS
     ]
     with_counts = df.select("doc_id", "lang", *counts)
     best = F.greatest(*[F.col(f"c_{lang}") for lang, _ in LANG_MARKERS])

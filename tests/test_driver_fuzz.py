@@ -1,0 +1,180 @@
+"""Whole-surface differential fuzz: run the REAL driver pairings —
+queries()[name] on Spark vs oracle_sql()[name] on DuckDB — over random
+seeded tables, not the fixed testdata. Anything that only worked by
+coincidence of the sf0.01 data (hash math, rounding, NULL paths, window
+frames) fails here. Excludes pages/goldens-backed queries (their oracles
+read fixed corpus paths) and fixture-backed media/WARC queries.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import random
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+SEED = 20260817
+
+DOC_QUERIES = [
+    "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
+    "dedup_minhash_lsh_pairs_capped", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_pruned", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_clusters", "text_token_count", "text_quality_score",
+    "text_lang_id", "text_fingerprint", "text_winnow_fingerprint",
+    "text_lm_quality", "text_bpe_token_counts", "clean_repetition_flags",
+    "clean_stopword_stats", "shape_chunk_documents", "shape_pack_documents",
+    "shape_deterministic_sample", "udaf_geomean_chars",
+    "udf_groupmap_zscore", "p12_display_name_join", "w1_topk_limit",
+    "w2_label_band_filter",
+]
+EMB_QUERIES = [
+    "ann_bruteforce_topk", "ann_embedding_near_dup", "ann_lsh_bucketed_topk",
+    "ann_ivf_topk", "ann_bucketed_near_dup", "ann_knn_join",
+    "ann_knn_join_gemm",
+]
+EVENT_QUERIES = [
+    "p11_json_sniff", "p11b_typed_json_parse", "temporal_sessionize",
+    "temporal_session_window_native", "olap_value_quantiles",
+    "olap_event_pivot",
+]
+
+
+def _make_tables(tmpdir: str) -> None:
+    rng = random.Random(SEED)
+    words = ["the", "quick", "brown", "Fox", "and", "of", "to", "lazy",
+             "dog", "spark", "parquet", "shuffle", "x1", "y2", "z-3",
+             "naïve", "über", "###", "..."]
+    langs = ["en", "es", "de", "xx"]
+    docs = []
+    for i in range(50):
+        k = rng.randrange(0, 60)
+        t = " ".join(rng.choice(words) for _ in range(k))
+        if rng.random() < 0.2:
+            t = t + "\n" + t  # duplicate lines / near-dup pressure
+        docs.append((i, t, rng.choice(langs), len(t)))
+    docs += [(50, "", "en", 0), (51, "solo", "es", 4)]
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs],
+             "lang": [d[2] for d in docs], "n_chars": [d[3] for d in docs]},
+            schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                              ("lang", pa.string()), ("n_chars", pa.int64())]),
+        ),
+        os.path.join(tmpdir, "documents.parquet"),
+    )
+    vecs = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(16)], rng.randrange(4))
+        for i in range(60)
+    ]
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"vec_id": [v[0] for v in vecs],
+             "embedding": [v[1] for v in vecs],
+             "label": [v[2] for v in vecs]},
+            schema=pa.schema([("vec_id", pa.int64()),
+                              ("embedding", pa.list_(pa.float32())),
+                              ("label", pa.int32())]),
+        ),
+        os.path.join(tmpdir, "embeddings.parquet"),
+    )
+    base = datetime.datetime(2024, 3, 1)
+    events = []
+    for i in range(400):
+        events.append((
+            i,
+            base + datetime.timedelta(seconds=rng.randrange(0, 3_000_000)),
+            rng.randrange(12),
+            rng.choice(["click", "error", "purchase", "signup", "view"]),
+            round(rng.uniform(0, 50), 2),
+            '{"k": %d}' % rng.randrange(100),
+        ))
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"event_id": [e[0] for e in events],
+             "ts": [e[1] for e in events],
+             "user_id": [e[2] for e in events],
+             "event_type": [e[3] for e in events],
+             "value": [e[4] for e in events],
+             "props": [e[5] for e in events]},
+            schema=pa.schema([("event_id", pa.int64()),
+                              ("ts", pa.timestamp("us")),
+                              ("user_id", pa.int64()),
+                              ("event_type", pa.string()),
+                              ("value", pa.float64()),
+                              ("props", pa.string())]),
+        ),
+        os.path.join(tmpdir, "events.parquet"),
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("driver_fuzz"))
+    _make_tables(d)
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    return d, con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        try:
+            if df[c].dtype.kind == "f":
+                df[c] = df[c].round(6)
+        except Exception:
+            pass
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        return False
+    for c in a.columns:
+        for x, y in zip(a[c].tolist(), b[c].tolist()):
+            if x is None and y is None:
+                continue
+            if isinstance(x, float) or isinstance(y, float):
+                xf = float("nan") if x is None else float(x)
+                yf = float("nan") if y is None else float(y)
+                if math.isnan(xf) and math.isnan(yf):
+                    continue
+                if abs(xf - yf) > 1e-9:
+                    return False
+            elif str(x) != str(y):
+                return False
+    return True
+
+
+def _run(spark, fuzz_env, names):
+    d, con = fuzz_env
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in names:
+        sdf = _canon(qs[name](spark, d).toPandas())
+        ddf = _canon(con.execute(oracles[name]).df())
+        if not _equal(sdf, ddf):
+            bad.append((name, len(sdf), len(ddf)))
+    assert bad == [], bad
+
+
+class TestDriverFuzz:
+    def test_document_queries(self, spark, fuzz_env):
+        _run(spark, fuzz_env, DOC_QUERIES)
+
+    def test_embedding_queries(self, spark, fuzz_env):
+        _run(spark, fuzz_env, EMB_QUERIES)
+
+    def test_event_queries(self, spark, fuzz_env):
+        _run(spark, fuzz_env, EVENT_QUERIES)
