@@ -45,6 +45,10 @@ EVENT_QUERIES = [
     "temporal_session_window_native", "olap_value_quantiles",
     "olap_event_pivot",
 ]
+RELATIONAL_QUERIES = [
+    "temporal_asof_join", "temporal_interval_join", "olap_pricing_summary",
+    "olap_regional_revenue", "olap_order_priority", "olap_priority_rollup",
+]
 
 
 def _make_tables(tmpdir: str) -> None:
@@ -115,12 +119,68 @@ def _make_tables(tmpdir: str) -> None:
     )
 
 
+def _make_relational_tables(tmpdir: str) -> None:
+    rng = random.Random(SEED + 1)
+    base = datetime.datetime(2024, 3, 1)
+
+    def w(name, cols, rows, types):
+        pq.write_table(
+            pa.Table.from_pydict(
+                {c: [r[i] for r in rows] for i, c in enumerate(cols)},
+                schema=pa.schema(list(zip(cols, types))),
+            ),
+            os.path.join(tmpdir, f"{name}.parquet"),
+        )
+
+    w("region", ["r_regionkey", "r_name"],
+      [(0, "AMERICA"), (1, "EUROPE")], [pa.int64(), pa.string()])
+    w("nation", ["n_nationkey", "n_name", "n_regionkey"],
+      [(i, f"NATION{i}", i % 2) for i in range(5)],
+      [pa.int64(), pa.string(), pa.int64()])
+    w("customer", ["c_custkey", "c_nationkey"],
+      [(i, rng.randrange(5)) for i in range(40)], [pa.int64(), pa.int64()])
+    orders = []
+    for i in range(300):
+        orders.append((
+            i, rng.randrange(40), rng.choice(["O", "F", "P"]),
+            round(rng.uniform(10, 5000), 2),
+            base + datetime.timedelta(seconds=rng.randrange(0, 3_000_000)),
+            rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+        ))
+    # tie pressure: two orders sharing (custkey, orderdate) and an order
+    # whose date exactly equals an event timestamp (inclusive asof match)
+    tie_ts = base + datetime.timedelta(seconds=1000)
+    orders += [(300, 12, "O", 1.0, tie_ts, "2-HIGH"),
+               (301, 12, "F", 2.0, tie_ts, "2-HIGH")]
+    w("orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+      orders, [pa.int64(), pa.int64(), pa.string(), pa.float64(),
+               pa.timestamp("us"), pa.string()])
+    lineitem = []
+    for i in range(600):
+        lineitem.append((
+            rng.randrange(302), rng.randrange(50), rng.randrange(20), i,
+            float(rng.randrange(1, 50)), round(rng.uniform(100, 9000), 2),
+            round(rng.uniform(0, 0.1), 2), round(rng.uniform(0, 0.08), 2),
+            rng.choice(["A", "N", "R"]), rng.choice(["O", "F"]),
+            base + datetime.timedelta(seconds=rng.randrange(0, 3_000_000)),
+        ))
+    w("lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                   "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                   "l_returnflag", "l_linestatus", "l_shipdate"],
+      lineitem, [pa.int64(), pa.int64(), pa.int64(), pa.int32(),
+                 pa.float64(), pa.float64(), pa.float64(), pa.float64(),
+                 pa.string(), pa.string(), pa.timestamp("us")])
+
+
 @pytest.fixture(scope="module")
 def fuzz_env(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("driver_fuzz"))
     _make_tables(d)
+    _make_relational_tables(d)
     con = duckdb.connect()
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events", "orders", "customer",
+              "nation", "region", "lineitem"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
         )
@@ -178,3 +238,6 @@ class TestDriverFuzz:
 
     def test_event_queries(self, spark, fuzz_env):
         _run(spark, fuzz_env, EVENT_QUERIES)
+
+    def test_relational_queries(self, spark, fuzz_env):
+        _run(spark, fuzz_env, RELATIONAL_QUERIES)
