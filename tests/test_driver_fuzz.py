@@ -241,3 +241,91 @@ class TestDriverFuzz:
 
     def test_relational_queries(self, spark, fuzz_env):
         _run(spark, fuzz_env, RELATIONAL_QUERIES)
+
+
+PAGES_QUERIES = [
+    "f1_f2_size_filter", "f3_magic_router", "f4_extension_predicate",
+    "f5_empty_text_guard", "p3_content_hash", "p4_regex_fields",
+    "p5_multi_pattern_fallback", "p9_prompt_truncation",
+    "p10_discovery_truncation", "f6_unknown_field_skip",
+    "p7_pattern_precompile", "a3_idempotent_resume", "ai_label_discovery",
+    "clean_canonical_url", "clean_scrub_pii", "clean_domain_stats",
+    "clean_line_dedup", "media_metadata", "media_features",
+    "media_frame_sample",
+]
+
+
+def _make_pages(tmpdir: str) -> None:
+    rng = random.Random(SEED + 2)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    bodies = [
+        "Customer Name: Ana Maria Lopez (extra prose here)",
+        "Policy Number: POL-123456789 and more words",
+        "Policyholder: HOLDER-77 Policy Number: POL-999",
+        "Claim Amount: $1,234.56 due promptly",
+        "contact me at jane.doe+spam@example.co.uk or 192.168.0.1 today",
+        "call +48 123-456-789 about the claim",
+        "plain filler sentence with nothing to extract",
+        "Ünicode prose möre wörds but ascii around PII: 10.0.0.1 ok",
+        "",
+        "   \n\t   ",
+    ]
+    hosts = ["fixtures.test", "EXAMPLE.org:443", "sub.site.pl:80",
+             "weird.host:8080"]
+    for i in range(60):
+        scheme = rng.choice(["https", "HTTP"])
+        host = rng.choice(hosts)
+        path = rng.choice([
+            f"/a/p{i}.html", f"/docs/d{i}.PDF", f"/feed/item{i:04d}",
+            f"/q{i}?x=1&y=2", "/",
+        ])
+        url = f"{scheme}://{host}{path}"
+        kind = rng.randrange(4)
+        if kind == 0:
+            html = b"%PDF-1.4 fake body " + bytes([rng.randrange(256)] * 40)
+        elif kind == 1:
+            html = ("<html><body>" + rng.choice(bodies) + "</body></html>").encode()
+        elif kind == 2:
+            html = b""
+        else:
+            html = bytes(rng.randrange(256) for _ in range(80))
+        text = rng.choice(bodies) if "/feed/" in path else ""
+        rows.append((url, base + datetime.timedelta(seconds=i), html, text,
+                     rng.choice(["en", "pl", "es"])))
+    os.makedirs(os.path.join(tmpdir, "pages.parquet"), exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"url": [r[0] for r in rows], "warc_ts": [r[1] for r in rows],
+             "html": [r[2] for r in rows], "text": [r[3] for r in rows],
+             "lang": [r[4] for r in rows]},
+            schema=pa.schema([("url", pa.string()),
+                              ("warc_ts", pa.timestamp("us")),
+                              ("html", pa.binary()), ("text", pa.string()),
+                              ("lang", pa.string())]),
+        ),
+        os.path.join(tmpdir, "pages.parquet", "part-0000.parquet"),
+    )
+
+
+class TestPagesFuzz:
+    def test_pages_queries(self, spark, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("pages_fuzz"))
+        _make_pages(d)
+        con = duckdb.connect()
+        qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+        real_glob = f"read_parquet('{entrymod.CORPUS_01}/pages.parquet/*.parquet')"
+        fuzz_glob = f"read_parquet('{d}/pages.parquet/*.parquet')"
+        orig = entrymod.ensure_corpus
+        entrymod.ensure_corpus = lambda _sf: d
+        try:
+            bad = []
+            for name in PAGES_QUERIES:
+                sdf = _canon(qs[name](spark, d).toPandas())
+                sql = oracles[name].replace(real_glob, fuzz_glob)
+                ddf = _canon(con.execute(sql).df())
+                if not _equal(sdf, ddf):
+                    bad.append((name, len(sdf), len(ddf)))
+            assert bad == [], bad
+        finally:
+            entrymod.ensure_corpus = orig
