@@ -972,6 +972,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("url", "frame_idx")
     q["media_frame_sample"] = media_frame_sample
 
+    # ---- SQL-registered surface: named UDFs + UDTF through spark.sql ---------
+    def sql_udf_extract_text(spark, sf_dir):
+        # the pure-SQL user path: register_all + spark.sql over a view; the
+        # kernel output must equal the goldens byte-for-byte
+        from pdf_parser_spark.functions import register_all
+
+        register_all(spark)
+        load_pages(spark, ensure_corpus(sf_dir)).createOrReplaceTempView("sql_pages")
+        return spark.sql("""
+            SELECT url, pp_extract_text(html) AS text
+            FROM sql_pages WHERE url LIKE '%.html' ORDER BY url
+        """)
+    q["sql_udf_extract_text"] = sql_udf_extract_text
+
+    def sql_udtf_field_rows(spark, sf_dir):
+        # table-function form: LATERAL pp_extract_fields_t(text) fans each
+        # document into (field, value) rows
+        from pdf_parser_spark.functions import register_all
+
+        register_all(spark)
+        load_pages(spark, ensure_corpus(sf_dir)).createOrReplaceTempView("sql_pages")
+        return spark.sql("""
+            SELECT p.url, t.field, t.value
+            FROM sql_pages p, LATERAL pp_extract_fields_t(p.text) t
+            WHERE p.url LIKE '%/feed/%'
+            ORDER BY url, field
+        """)
+    q["sql_udtf_field_rows"] = sql_udtf_field_rows
+
     def media_wav_metadata(spark, sf_dir):
         # real audio-container decode (from-scratch RIFF/WAVE walk) over a
         # deterministic fixture; the oracle re-derives every field with
@@ -1875,6 +1904,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, frame_idx, offset_frac, {fb('whex', 8)} AS features_b
         FROM w ORDER BY url, frame_idx
     """
+    o["sql_udf_extract_text"] = f"""
+        SELECT url, golden_text AS text FROM {goldens}
+        WHERE url LIKE '%.html' ORDER BY url
+    """
+    o["sql_udtf_field_rows"] = f"""
+        WITH f AS (
+          SELECT url, text FROM {pages}
+          WHERE url LIKE '%/feed/%'
+            AND trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+        )
+        SELECT url, field, value FROM (
+          SELECT url, 'customer_name' AS field,
+                 trim(regexp_extract(text, 'Customer Name[:\\s]*([A-Za-zÀ-ž ,.''-]+)', 1)) AS value
+          FROM f
+          UNION ALL
+          SELECT url, 'policy_number',
+                 trim(regexp_extract(text, 'Policy Number[:\\s]*([\\w-]+)', 1))
+          FROM f
+          UNION ALL
+          SELECT url, 'claim_amount',
+                 trim(regexp_extract(text, 'Claim Amount[:\\s]*\\$?([\\d,]+\\.\\d{{2}})', 1))
+          FROM f
+        ) WHERE value <> '' ORDER BY url, field
+    """
+
     # canonical 44-byte WAV header fields re-derived with little-endian
     # byte arithmetic over hex(payload)
     def wb(i: int) -> str:

@@ -84,3 +84,21 @@ def register_all(spark: SparkSession, prefix: str = "pp_") -> None:
     spark.udf.register(f"{prefix}extract_fields", _fields_udf)
     spark.udf.register(f"{prefix}file_hash", _hash6_udf)
     spark.udf.register(f"{prefix}pretty_json", _pretty_udf)
+
+    # §2.10 UDTF: one row per matched field, usable in FROM ... LATERAL —
+    # the table-function form of the extraction kernel (Spark 4 Python UDTF)
+    from pyspark.sql.functions import udtf
+
+    class _FieldRows:
+        def eval(self, text):
+            try:
+                fields = extract_fields("" if text is None else str(text))
+            except Exception:
+                return  # empty/whitespace text: no rows, never an error
+            for k, v in fields.items():
+                yield (k, v)
+
+    spark.udtf.register(
+        f"{prefix}extract_fields_t",
+        udtf(_FieldRows, returnType="field string, value string"),
+    )
