@@ -100,5 +100,6 @@ def register_all(spark: SparkSession, prefix: str = "pp_") -> None:
 
     spark.udtf.register(
         f"{prefix}extract_fields_t",
-        udtf(_FieldRows, returnType="field string, value string"),
+        udtf(_FieldRows, returnType="field string, value string",
+             useArrow=True),  # Arrow-serialized batches, not pickled rows
     )
