@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import _ASCII_WS
+
 __all__ = ["word_frequencies", "bpe_train", "bpe_encode", "bpe_token_counts"]
 
 END = "</w>"  # end-of-word marker, as in the reference algorithm
@@ -134,7 +136,9 @@ def bpe_encode(
         out = []
         for t in texts:
             toks: List[str] = []
-            for w in ("" if t is None else str(t)).lower().split():
+            for w in _ASCII_WS.split(("" if t is None else str(t)).lower()):
+                if not w:
+                    continue
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = _encode_word(w, ranks)

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from .textstats import normalized
+from .textstats import _ASCII_WS, normalized
 
 __all__ = [
     "md5_hash60", "xxhash60", "exact_dedup", "word_shingles",
@@ -297,7 +297,10 @@ def _simhash64_udf(texts: pd.Series) -> pd.Series:
     shifts = np.arange(64, dtype=np.uint64)
     out = []
     for t in texts:
-        toks = set(("" if t is None else str(t)).lower().split())
+        # ASCII-whitespace split, matching the JVM ops' \s+ (Java and RE2
+        # \s are ASCII); str.split() would also break on U+00A0 etc.,
+        # silently diverging from every SQL engine on NBSP-laden web text
+        toks = set(x for x in _ASCII_WS.split(("" if t is None else str(t)).lower()) if x)
         if not toks:
             out.append(0)
             continue

@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import _ASCII_WS
+
 __all__ = ["train_char_trigram_lm", "lm_bits_per_char", "lm_quality_flags"]
 
 BOS = "\x02"  # sentence padding chars (never appear in normalized text)
@@ -75,7 +77,8 @@ def lm_bits_per_char(
     def score(texts):
         out = []
         for t in texts:
-            s = " ".join(("" if t is None else str(t)).lower().split())
+            # ASCII-whitespace normalization, matching _norm_expr's \s+
+            s = " ".join(x for x in _ASCII_WS.split(("" if t is None else str(t)).lower()) if x)
             if not s:
                 out.append(None)
                 continue

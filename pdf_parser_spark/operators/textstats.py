@@ -7,6 +7,7 @@ n-gram-heuristic language ID, and document fingerprinting.
 
 from __future__ import annotations
 
+import re
 from typing import List, Tuple
 
 from pyspark.sql import Column, DataFrame
@@ -16,6 +17,11 @@ __all__ = [
     "normalized", "token_count", "quality_score", "lang_id", "fingerprint",
     "winnow_fingerprint", "LANG_MARKERS",
 ]
+
+# ASCII whitespace, exactly what Java's and RE2's \s match: the Python-side
+# kernels tokenize with THIS, not str.split(), so Python and JVM/SQL ops
+# agree on NBSP-laden web text (str.split() also breaks on U+00A0 etc.)
+_ASCII_WS = re.compile(r"[ \t\n\r\f\x0b]+")
 
 
 def normalized(col: Column) -> Column:
@@ -131,7 +137,8 @@ def winnow_fingerprint(
         base_pow = base ** np.uint64(k - 1)
         out = []
         for t in texts:
-            s = " ".join(("" if t is None else str(t)).lower().split())
+            # ASCII-whitespace normalization (see dedup._simhash64_udf note)
+            s = " ".join(x for x in _ASCII_WS.split(("" if t is None else str(t)).lower()) if x)
             if len(s) < k:
                 out.append([])
                 continue

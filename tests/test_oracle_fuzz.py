@@ -19,7 +19,11 @@ import pytest
 def _random_docs(seed: int, n: int = 40):
     rng = random.Random(seed)
     words = ["alpha", "beta", "Gamma", "DELTA", "épsilon", "zeta", "0xff",
-             "a", "bb", "ccc", "x-y", "über", "naïve", "'quote'", "commas,"]
+             "a", "bb", "ccc", "x-y", "über", "naïve", "'quote'", "commas,",
+             # NBSP-joined: ONE token under ASCII-whitespace tokenization
+             # (Java/RE2 \s and the aligned Python kernels); str.split()
+             # would break it in two and diverge from every SQL engine
+             "nb\xa0sp"]
     docs = []
     for i in range(n):
         k = rng.randrange(0, 30)
