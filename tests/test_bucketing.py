@@ -55,3 +55,25 @@ class TestBucketedJoin:
             assert "Exchange" in plan  # same join without buckets shuffles
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+class TestPartitionPruning:
+    def test_status_partitioned_sink_prunes_scan(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pdf_parser_spark.corpus import ensure_corpus
+        from pdf_parser_spark.pipeline import (
+            extract_pipeline, load_pages, write_output,
+        )
+
+        out = str(tmp_path / "parted")
+        res = extract_pipeline(load_pages(spark, ensure_corpus(0.001)))
+        write_output(res, out, mode="overwrite", partition_by=["status"])
+        df = spark.read.parquet(out).where(F.col("status") == "ok")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the filter must land in PartitionFilters (directory pruning),
+        # not as a row-level PushedFilters predicate
+        assert "PartitionFilters" in plan and "(status" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+        assert df.count() == 84
