@@ -498,7 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_ngram_jaccard_pruned"] = dedup_ngram_jaccard_pruned
 
-    def dedup_simhash(spark, sf_dir):  # Pandas-UDF op: rows-only oracle
+    def dedup_simhash(spark, sf_dir):  # md5 bit-voting: SQL-oracled exactly
         return D.simhash64(_docs(spark, sf_dir)).orderBy("doc_id")
     q["dedup_simhash"] = dedup_simhash
 
