@@ -83,3 +83,29 @@ class TestCurateJobCli:
             f"SELECT count(DISTINCT url) FROM read_parquet('{out}/*.parquet')"
         ).fetchone()[0]
         assert 0 < n_docs < 84  # strict subset of the 84 ok docs
+
+
+class TestParallelismInvariance:
+    def test_local1_equals_local8(self, corpus, tmp_path):
+        # SURVEY §5(d): the job's output must be a pure function of the
+        # input, independent of parallelism (modulo row order)
+        import os
+
+        outs = {}
+        for n in (1, 8):
+            out = str(tmp_path / f"out_n{n}")
+            env = {**os.environ,
+                   "PYSPARK_SUBMIT_ARGS": f"--master local[{n}] pyspark-shell"}
+            r = subprocess.run(
+                [sys.executable, "jobs/extract_job.py",
+                 "--input", corpus, "--output", out],
+                capture_output=True, text=True, cwd="/root/repo",
+                timeout=300, env=env,
+            )
+            assert r.returncode == 0, r.stderr[-2000:]
+            outs[n] = out
+        q = ("SELECT url, file_hash, method, text, fields_json, status, error "
+             "FROM read_parquet('{}/*.parquet') ORDER BY url")
+        a = duckdb.sql(q.format(outs[1])).fetchall()
+        b = duckdb.sql(q.format(outs[8])).fetchall()
+        assert len(a) == 100 and a == b
