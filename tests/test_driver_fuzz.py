@@ -173,9 +173,11 @@ def _make_relational_tables(tmpdir: str) -> None:
                  pa.string(), pa.string(), pa.timestamp("us")])
 
 
-@pytest.fixture(scope="module")
-def fuzz_env(spark, tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("driver_fuzz"))
+@pytest.fixture(scope="module", params=[0, 31337])
+def fuzz_env(request, spark, tmp_path_factory):
+    global SEED
+    SEED = 20260817 + request.param
+    d = str(tmp_path_factory.mktemp(f"driver_fuzz_{request.param}"))
     _make_tables(d)
     _make_relational_tables(d)
     con = duckdb.connect()
