@@ -41,3 +41,52 @@ class TestEntryContract:
         assert df.columns == [
             "url", "file_hash", "method", "text", "fields_json", "status", "error",
         ]
+
+    def test_oracle_dtype_parity(self, spark, contract):
+        """The r1/r2 red rows (text_bpe_token_counts, olap_event_pivot) were
+        value-equal but hash-mismatched: DuckDB sum()/sum(CASE) returns
+        HUGEINT which pandas renders float64, while Spark returns int64 —
+        the driver's value hash sees 190.0 vs 190. HUGEINT maps to float64
+        even on EMPTY DuckDB frames, so comparing pandas dtype kinds on
+        limit-0 results catches the whole artifact class without executing
+        the queries. Fix mismatches by CASTing the oracle (BIGINT) or the
+        Spark side — never by weakening this gate."""
+        import duckdb
+
+        qs, oracles = contract
+        con = duckdb.connect()
+        sf01 = "/root/testdata/sf0.01"
+        import os
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            p = os.path.join(sf01, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
+
+        def kinds(pdf):
+            # u->i (unsigned ints hash like ints); M unit differences
+            # (ns vs us) are not an artifact
+            return {
+                c: ("i" if pdf[c].dtype.kind == "u" else pdf[c].dtype.kind)
+                for c in pdf.columns
+            }
+
+        offenders = []
+        for name, fn in qs.items():
+            if name not in oracles:
+                continue
+            sk = kinds(fn(spark, sf01).limit(0).toPandas())
+            dk = kinds(
+                con.execute(
+                    f"SELECT * FROM ({oracles[name]}) LIMIT 0"
+                ).df()
+            )
+            if set(sk) != set(dk):
+                offenders.append((name, "columns", sorted(sk), sorted(dk)))
+                continue
+            for c in sk:
+                if sk[c] != dk[c]:
+                    offenders.append((name, c, sk[c], dk[c]))
+        assert offenders == [], offenders
