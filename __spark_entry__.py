@@ -514,6 +514,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
     q["dedup_clusters"] = dedup_clusters
 
+    def dedup_clusters_capped(spark, sf_dir):
+        # the scale-default clustering form: the skew cap now flows through
+        # dup_clusters into the LSH banding (r2 verdict: the end-to-end path
+        # users run inherited the uncapped M^2/2 bucket blowup)
+        return D.dup_clusters(
+            _docs(spark, sf_dir), num_hashes=16, bands=8, max_bucket=50
+        ).orderBy("doc_id")
+    q["dedup_clusters_capped"] = dedup_clusters_capped
+
     # ---- similarity -----------------------------------------------------------
     def ann_bruteforce_topk(spark, sf_dir):
         return S.brute_force_topk(_emb(spark, sf_dir), query_id=0, k=10)
@@ -1039,6 +1048,8 @@ _VERIFY_FIRST = [
     "sql_udf_extract_text", "sql_udtf_field_rows", "media_wav_metadata",
     # red in r1+r2 (oracle dtype artifact, fixed this round) — re-prove
     "text_bpe_token_counts", "olap_event_pivot",
+    # new this round
+    "dedup_clusters_capped",
 ]
 
 
@@ -1287,6 +1298,36 @@ def oracle_sql() -> dict[str, str]:
         ), pairs AS (
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           FROM banded l JOIN banded r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ), e AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(s, d) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+        )
+        SELECT s AS doc_id, min(d) AS component FROM reach
+        GROUP BY s ORDER BY doc_id
+    """
+
+    # capped clustering: identical closure over the CAPPED pair graph (the
+    # QUALIFY mirrors minhash_lsh_pairs' bucket-size filter at max_bucket=50)
+    o["dedup_clusters_capped"] = "WITH RECURSIVE " + shingle_cte.replace("WITH", "", 1) + f"""
+        , sig AS (
+          SELECT doc_id, {', '.join(mh(i) for i in range(16))}
+          FROM sh GROUP BY doc_id
+        ), banded AS (
+          SELECT doc_id, b.band,
+                 md5(concat_ws(',', CASE b.band {' '.join(f"WHEN {b} THEN mh_{2*b}" for b in range(8))} END,
+                                    CASE b.band {' '.join(f"WHEN {b} THEN mh_{2*b+1}" for b in range(8))} END)) AS key
+          FROM sig, (SELECT unnest(range(0, 8)) AS band) b
+        ), capped AS (
+          SELECT doc_id, band, key FROM banded
+          QUALIFY count(*) OVER (PARTITION BY band, key) <= 50
+        ), pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM capped l JOIN capped r
             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
         ), e AS (
           SELECT id_a AS s, id_b AS d FROM pairs
@@ -1988,8 +2029,14 @@ def oracle_sql() -> dict[str, str]:
         WITH p AS (SELECT url, hex(payload) AS h FROM read_parquet('{AV_01}')),
         m AS (
           SELECT url,
+            -- 'wav' requires the fmt chunk id at offset 12 too, matching
+            -- parse_riff_wav's acceptance (RIFF+WAVE magic alone with a
+            -- missing/reordered fmt chunk classifies 'riff' in the parser;
+            -- the fixed-offset field reads below are only valid with the
+            -- canonical fmt-first layout this pins)
             CASE WHEN substring(h, 1, 8) = '52494646'
-                  AND substring(h, 17, 8) = '57415645' THEN 'wav'
+                  AND substring(h, 17, 8) = '57415645'
+                  AND substring(h, 25, 8) = '666D7420' THEN 'wav'
                  WHEN substring(h, 1, 8) = '52494646' THEN 'riff'
                  ELSE 'unknown' END AS media_kind, h
           FROM p

@@ -50,8 +50,14 @@ def main(argv=None) -> int:
         .where(F.col("status") == "ok")
         .select("url", "text")
     )
+    from pdf_parser_spark.operators.textstats import normalized
+
+    # the SAME normal form + NULL coalesce as operators.dedup.exact_dedup —
+    # an inline re-derivation here once omitted the coalesce, which would
+    # collapse all NULL-text rows into one survivor and drift on any future
+    # change to the normal form
     fp = F.substring(
-        F.sha2(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), 256), 1, 16
+        F.sha2(F.coalesce(normalized(F.col("text")), F.lit("")), 256), 1, 16
     )
     w = Window.partitionBy("fingerprint").orderBy("url")
     deduped = (

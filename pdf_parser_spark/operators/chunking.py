@@ -63,32 +63,44 @@ def pack_documents(
     id_col: str = "doc_id",
     token_budget: int = 2048,
     shard_col: Optional[str] = None,
+    num_shards: int = 64,
 ) -> DataFrame:
     """Stream-order sequence packing: concatenate documents in key order and
     cut fixed token windows — each document is tagged with the pack window
     its first token lands in and its offset in the stream (pretraining-style
     packing, where documents may straddle a boundary).
 
-    One prefix-sum window. At scale, pass shard_col: packing happens
-    independently per shard (the window partitions by shard), which is both
-    the scalable plan — no global single-partition sort — and the semantics
-    training actually wants (any consistent order works; only determinism
-    matters). Returns (id, [shard], n_tokens, stream_offset, pack_id).
+    One prefix-sum window, always partitioned. Pass shard_col to control the
+    sharding; when None a deterministic default shard is derived as
+    pmod(xxhash64(id), num_shards) — packing happens independently per shard,
+    which is both the scalable plan (no global single-partition sort is
+    reachable through this API) and the semantics training actually wants
+    (any consistent order works; only determinism matters).
+    Returns (id, shard, n_tokens, stream_offset, pack_id).
     """
     toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
+    if shard_col is None:
+        # safe default: a Window.partitionBy() (empty) here would serialize
+        # the whole corpus through one task — derive a hash shard instead
+        shard_col = "shard"
+        df = df.withColumn(
+            shard_col,
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                   F.lit(num_shards)).cast("int"),
+        )
     base = df.select(
-        *( [F.col(shard_col)] if shard_col else [] ),
+        F.col(shard_col),
         F.col(id_col),
         toks.alias("n_tokens"),
     )
     w = (
-        (Window.partitionBy(shard_col) if shard_col else Window.partitionBy())
+        Window.partitionBy(shard_col)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
     return base.select(
-        *( [shard_col] if shard_col else [] ),
+        shard_col,
         id_col,
         "n_tokens",
         (cum - F.col("n_tokens")).alias("stream_offset"),

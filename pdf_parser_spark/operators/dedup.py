@@ -274,13 +274,21 @@ def connected_components(
 def dup_clusters(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, num_hashes: int = 16, bands: int = 8,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """End-to-end near-dup clustering: MinHash+LSH pairs -> components.
 
     The canonical keep-one-per-cluster rule is then `component == doc_id`
     (smallest id survives), matching exact_dedup's keep_id convention.
+
+    max_bucket forwards to minhash_lsh_pairs' skew guard — the clustering
+    path is the one users run end-to-end, so at scale pass the same cap the
+    capped pairs query uses (a degenerate band bucket of M members otherwise
+    feeds M^2/2 edges into component propagation). None = oracle-exact mode.
     """
-    pairs = minhash_lsh_pairs(df, text_col, id_col, n, num_hashes, bands)
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, n, num_hashes, bands, max_bucket=max_bucket
+    )
     return connected_components(df.select(id_col), pairs, id_col)
 
 

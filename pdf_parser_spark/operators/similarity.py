@@ -415,14 +415,22 @@ def knn_join_gemm(
         nids = right[id_col].to_numpy()
         S[qids[:, None] == nids[None, :]] = -np.inf  # mask self-matches
         kk = min(k, S.shape[1])
-        idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(np.arange(S.shape[0]), kk)
-        cols = idx.ravel()
-        keep = np.isfinite(S[rows, cols])
+        # local top-k on ROUNDED scores with nid-ascending tiebreak — the
+        # same total order as knn_join's window and the SQL oracle. An
+        # unrounded argpartition cut can pick a different member of a tie
+        # group straddling the local-k boundary (duplicate/near-dup vectors
+        # are exactly this operator's target data) and diverge globally.
+        Sr = np.round(S, 6)
+        order = np.lexsort(
+            (np.broadcast_to(nids, Sr.shape), -Sr), axis=1
+        )[:, :kk]
+        rows = np.repeat(np.arange(Sr.shape[0]), kk)
+        cols = order.ravel()
+        keep = np.isfinite(Sr[rows, cols])
         return pd.DataFrame({
             "qid": qids[rows[keep]],
             "nid": nids[cols[keep]],
-            "score": np.round(S[rows[keep], cols[keep]], 6),
+            "score": Sr[rows[keep], cols[keep]],
         })
 
     candidates = (

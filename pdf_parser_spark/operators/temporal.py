@@ -100,6 +100,18 @@ def asof_join(
     window (the kdb `tolerance` / Flink interval semantics).
     """
     lcols = left.columns
+    # the tagged union below places left columns and right payloads side by
+    # side — a payload name colliding with a left column (or left_ts being
+    # the key) would otherwise surface as an opaque AMBIGUOUS_REFERENCE
+    # analysis error deep inside the window stage
+    clash = [c for c in payload_cols if c in lcols]
+    if clash:
+        raise ValueError(
+            f"payload_cols {clash} collide with left columns; rename them on "
+            "the right side before asof_join"
+        )
+    if left_ts == key:
+        raise ValueError("left_ts must differ from key")
     rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
     tagged_l = left.select(

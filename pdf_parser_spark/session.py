@@ -10,7 +10,13 @@ __all__ = ["get_spark", "fan_out", "DEFAULT_SHUFFLE_PARTITIONS"]
 
 
 def _parse_bytes(v: str) -> int:
+    # Spark accepts both '16m' and '16mb' forms: strip an optional trailing
+    # 'b' FIRST, else '128mb' falls into the plain-'b' branch and raises on
+    # int('128m') (masked by fan_out's except into the plan-materializing
+    # RDD probe that this estimate exists to avoid)
     v = str(v).strip().lower()
+    if v.endswith("b") and len(v) > 1 and not v[-2].isdigit():
+        v = v[:-1]
     for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
         if v.endswith(suffix):
             return int(float(v[: -len(suffix)])) * mult
@@ -38,6 +44,12 @@ def fan_out(df):
     target = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
+        # the getsize estimate only makes sense for local paths; remote
+        # schemes (hdfs:/s3a:/...) would FileNotFoundError into the broad
+        # except and silently pay the RDD probe — bail out explicitly and
+        # let a big remote scan pass through (it has >= parallelism splits)
+        if files and any("://" in f and not f.startswith("file:") for f in files):
+            return df
         maxpb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
         est = sum(
             max(1, -(-os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)

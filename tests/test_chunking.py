@@ -69,12 +69,31 @@ class TestPackDocuments:
                 assert r.pack_id == expect // 10
                 expect += r.n_tokens
 
-    def test_global_mode_single_stream(self, spark):
-        rows = [(i, "a b c") for i in range(5)]
+    def test_default_mode_derives_hash_shard(self, spark):
+        # shard_col=None no longer means one global stream (a single-task
+        # window at scale): a deterministic pmod(xxhash64(id)) shard is
+        # derived, and offsets are contiguous within each derived shard
+        rows = [(i, "a b c") for i in range(40)]
         df = spark.createDataFrame(rows, "doc_id bigint, text string")
-        out = {r.doc_id: r for r in pack_documents(df, token_budget=4).collect()}
-        assert [out[i].stream_offset for i in range(5)] == [0, 3, 6, 9, 12]
-        assert [out[i].pack_id for i in range(5)] == [0, 0, 1, 2, 3]
+        out = pack_documents(df, token_budget=4, num_shards=4).collect()
+        assert {r.shard for r in out} > {0}  # really spread over shards
+        for shard in {r.shard for r in out}:
+            expect = 0
+            for r in sorted([x for x in out if x.shard == shard],
+                            key=lambda x: x.doc_id):
+                assert r.stream_offset == expect
+                assert r.pack_id == expect // 4
+                expect += r.n_tokens
+        # rerun is byte-identical (hash shard, no RNG)
+        again = pack_documents(df, token_budget=4, num_shards=4).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_default_mode_plan_has_partitioned_window(self, spark):
+        df = spark.createDataFrame([(0, "a")], "doc_id bigint, text string")
+        plan = pack_documents(df)._jdf.queryExecution().executedPlan().toString()
+        # an empty partitionBy would show 'Window [...]' with no partition
+        # spec and a single-partition Exchange; the derived shard must appear
+        assert "pmod" in plan or "shard" in plan
 
 
 class TestDeterministicSample:

@@ -104,6 +104,22 @@ class TestConnectedComponents:
         survivors = {d for d, c in comp.items() if c == d}
         assert 0 in survivors and 2 in survivors and 1 not in survivors
 
+    def test_dup_clusters_max_bucket_passthrough(self, spark):
+        # r2 verdict: the clustering wrapper silently ignored the skew cap.
+        # 5 identical docs share every band bucket; max_bucket=4 drops those
+        # buckets, so every doc must come back a singleton — if the cap were
+        # ignored they would all collapse to component 0.
+        from pdf_parser_spark.operators.dedup import dup_clusters
+
+        rows = [(i, "same text repeated across every single document here")
+                for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        capped = {r.doc_id: r.component
+                  for r in dup_clusters(df, max_bucket=4).collect()}
+        assert capped == {i: i for i in range(5)}
+        uncapped = {r.doc_id: r.component for r in dup_clusters(df).collect()}
+        assert uncapped == {i: 0 for i in range(5)}
+
 
 class TestMultimodalExt:
     def test_image_resize_contract(self, spark):
@@ -331,6 +347,24 @@ class TestKnnJoinGemm:
 
         out = knn_join_gemm(emb, k=2, n_lists=6, n_probe=2).collect()
         assert 0 < len(out) <= emb.count() * 2
+
+    def test_tied_candidates_break_by_nid(self, spark):
+        # duplicate embeddings tie at the local-k cut: both implementations
+        # must keep the SMALLEST nids (r2 advice: gemm's unrounded
+        # argpartition could pick any tie-group member and diverge)
+        from pdf_parser_spark.operators.similarity import knn_join, knn_join_gemm
+
+        rows = [(i, [1.0, 0.0, 0.0]) for i in range(6)]        # 6 identical
+        rows += [(i, [0.0, 1.0, float(i)]) for i in range(6, 10)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        for fn in (knn_join, knn_join_gemm):
+            got = {}
+            for r in fn(df, k=2, n_lists=2, n_probe=2).collect():
+                got.setdefault(r.qid, []).append((r.score, r.nid))
+            for qid in range(6):
+                # each duplicate's top-2 are the two smallest OTHER dup ids
+                want = sorted(i for i in range(6) if i != qid)[:2]
+                assert [n for _, n in sorted(got[qid], key=lambda t: (-t[0], t[1]))] == want, fn.__name__
 
 
 class TestSimhashBlockCap:
