@@ -50,8 +50,11 @@ ensure_corpus(0.001)
 ensure_corpus(0.01)
 
 from pdf_parser_spark.sources.av_fixture import ensure_av_fixture  # noqa: E402
+from pdf_parser_spark.sources.img_fixture import ensure_img_fixture  # noqa: E402
 
 AV_01 = ensure_av_fixture(CORPUS_01)
+IMG_01 = ensure_img_fixture(CORPUS_01)
+IMG_GOLDENS_01 = os.path.join(os.path.dirname(IMG_01), "media_goldens.parquet")
 
 MAX_SIZE = 50 * 1024 * 1024
 MIN_SIZE = 100
@@ -1015,6 +1018,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """)
     q["sql_udtf_field_rows"] = sql_udtf_field_rows
 
+    def media_png_real_features(spark, sf_dir):
+        # real-decode path: PNG payloads flow through the from-scratch
+        # decoder (kernels/png.py) into pixel features inside the Spark
+        # plan; corrupt/foreign payloads fall back to the digest featurizer
+        # per the error-isolation contract. Features project to
+        # floor(f*1e6) int CSV — IEEE-exact in both engines, no rounding
+        # ties — and the oracle reads the fixture's baked goldens.
+        from pdf_parser_spark.sources.img_fixture import ensure_img_fixture
+
+        path = ensure_img_fixture(ensure_corpus(sf_dir))
+        df = spark.read.parquet(path)
+        out = M.media_features(df, bin_col="payload", real_decode=True, dim=16)
+        return out.select(
+            "url", "n_bytes", "feature_dim",
+            F.array_join(
+                F.transform(
+                    F.col("features"),
+                    lambda x: F.floor(x.cast("double") * 1000000).cast("string"),
+                ),
+                ",",
+            ).alias("features_i"),
+        ).orderBy("url")
+    q["media_png_real_features"] = media_png_real_features
+
     def media_wav_metadata(spark, sf_dir):
         # real audio-container decode (from-scratch RIFF/WAVE walk) over a
         # deterministic fixture; the oracle re-derives every field with
@@ -1049,7 +1076,7 @@ _VERIFY_FIRST = [
     # red in r1+r2 (oracle dtype artifact, fixed this round) — re-prove
     "text_bpe_token_counts", "olap_event_pivot",
     # new this round
-    "dedup_clusters_capped",
+    "dedup_clusters_capped", "media_png_real_features",
 ]
 
 
@@ -2049,6 +2076,10 @@ def oracle_sql() -> dict[str, str]:
                THEN CAST(round({le32(40)} * 1000.0 / {le32(28)}) AS BIGINT)
           END AS duration_ms
         FROM m ORDER BY url
+    """
+    o["media_png_real_features"] = f"""
+        SELECT url, n_bytes, feature_dim, features_i
+        FROM read_parquet('{IMG_GOLDENS_01}') ORDER BY url
     """
     o["media_metadata"] = f"""
         SELECT url, COALESCE(octet_length(html), 0) AS n_bytes,

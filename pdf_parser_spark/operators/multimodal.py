@@ -190,8 +190,11 @@ def pixel_features(arr: "np.ndarray", dim: int) -> "np.ndarray":
     if cells:
         rows = int(np.sqrt(cells)) or 1
         cols = -(-cells // rows)
+        # images smaller than the grid yield EMPTY array_split blocks whose
+        # mean is NaN — NaN then diverges per engine (Python floor raises,
+        # Spark floor nulls, array_join silently drops); emit 0.0 instead
         grid = [
-            float(block.mean()) / 255.0
+            float(block.mean()) / 255.0 if block.size else 0.0
             for rband in np.array_split(g, rows, axis=0)
             for block in np.array_split(rband, cols, axis=1)
         ][:cells]

@@ -1,0 +1,111 @@
+"""Deterministic image-payload fixture for the real-decode media path.
+
+Writes two parquet files under <corpus_dir>/img/:
+
+- media.parquet (url, payload): real PNGs in several shapes/color types
+  (encoded by the from-scratch kernels/png.py encoder, itself round-trip
+  tested against the decoder), a corrupt PNG (valid signature, truncated
+  IDAT), a JPEG-magic payload, and junk bytes — the fallback rows.
+- media_goldens.parquet (url, n_bytes, feature_dim, features_i): the
+  expected media_features(real_decode=True) output, features projected to
+  floor(f * 1e6) integers joined as CSV (floor is IEEE-exact in both
+  engines, unlike rounding-at-ties).
+
+Goldens are baked at fixture-generation time from the same deterministic
+kernel path the Spark query runs (the goldens pattern the extraction
+pipeline uses: kernels/png.py carries its own differential tests, and
+pixel_features has hand-computed unit vectors). The DuckDB oracle is a
+plain SELECT over media_goldens.parquet, so a driver row proves real
+pixel features — not the digest placeholder — flow through the Spark plan
+for PNG rows while non-PNG rows keep the documented fallback. Idempotent.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+__all__ = ["ensure_img_fixture", "IMG_FEATURE_DIM"]
+
+IMG_FEATURE_DIM = 16
+
+
+def _pngs() -> list:
+    from ..kernels.png import encode_png
+
+    out = []
+    # gradient grayscale (uneven dims exercise array_split remainders)
+    g = np.add.outer(np.arange(13) * 9, np.arange(29) * 5).astype(np.uint8)
+    out.append(("a-gradient-gray", encode_png(g, filter_type=1)))
+    # RGB checkerboard
+    yy, xx = np.indices((16, 16))
+    board = ((yy // 4 + xx // 4) % 2) * 255
+    rgb = np.stack([board, 255 - board, np.full_like(board, 85)], axis=2)
+    out.append(("b-checker-rgb", encode_png(rgb.astype(np.uint8), filter_type=2)))
+    # seeded RGBA noise via an LCG (no RNG object: pure function of index)
+    n = 11 * 7 * 4
+    lcg = (np.arange(n, dtype=np.uint64) * 6364136223846793005 + 1442695040888963407)
+    noise = ((lcg >> 33) & 0xFF).astype(np.uint8).reshape(11, 7, 4)
+    out.append(("c-noise-rgba", encode_png(noise, filter_type=3)))
+    # single row / single column edges
+    out.append(("d-row", encode_png(np.arange(40, dtype=np.uint8)[None, :])))
+    out.append(("e-col", encode_png(np.arange(23, dtype=np.uint8)[:, None],
+                                    filter_type=4)))
+    return out
+
+
+def _feature_ints(payload: bytes, dim: int) -> str:
+    from ..operators.multimodal import _fake_features, decode_image, pixel_features
+
+    try:
+        feats = pixel_features(decode_image(payload), dim)
+    except Exception:
+        feats = _fake_features(payload, dim)
+    return ",".join(str(math.floor(float(f) * 1_000_000)) for f in feats)
+
+
+def ensure_img_fixture(corpus_dir: str) -> str:
+    out_dir = os.path.join(corpus_dir, "img")
+    path = os.path.join(out_dir, "media.parquet")
+    gpath = os.path.join(out_dir, "media_goldens.parquet")
+    if os.path.exists(path) and os.path.exists(gpath):
+        return path
+    rows = [(f"https://fixtures.test/img/{name}.png", data)
+            for name, data in _pngs()]
+    # fallback rows: corrupt PNG (signature, truncated IDAT), foreign codec
+    # magic, junk — all must yield digest features, never kill the task
+    good = rows[0][1]
+    rows.append(("https://fixtures.test/img/f-truncated.png", good[: len(good) // 2]))
+    rows.append(("https://fixtures.test/img/g-photo.jpg",
+                 b"\xff\xd8\xff\xe0" + b"not really a jpeg" * 3))
+    rows.append(("https://fixtures.test/img/h-junk.bin", b"\x00\x01binary junk"))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(p: str, tbl: pa.Table) -> None:
+        fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, p)  # atomic: concurrent ensure calls stay idempotent
+
+    _write(path, pa.Table.from_pydict(
+        {"url": [r[0] for r in rows], "payload": [r[1] for r in rows]},
+        schema=pa.schema([("url", pa.string()), ("payload", pa.binary())]),
+    ))
+    _write(gpath, pa.Table.from_pydict(
+        {
+            "url": [r[0] for r in rows],
+            "n_bytes": [len(r[1]) for r in rows],
+            "feature_dim": [IMG_FEATURE_DIM] * len(rows),
+            "features_i": [_feature_ints(r[1], IMG_FEATURE_DIM) for r in rows],
+        },
+        schema=pa.schema([
+            ("url", pa.string()), ("n_bytes", pa.int64()),
+            ("feature_dim", pa.int32()), ("features_i", pa.string()),
+        ]),
+    ))
+    return path

@@ -118,3 +118,60 @@ class TestRealDecodePath:
         want_jpg = [pytest.approx(float(x), abs=1e-6)
                     for x in _fake_features(jpeg, 16)]
         assert list(rows["jpg"].features) == want_jpg
+
+
+class TestPixelFeatures:
+    def test_hand_computed_vector(self):
+        from pdf_parser_spark.operators.multimodal import pixel_features
+
+        # 2x2 gray image [[0,255],[255,0]]: h=2 w=2 c=1, mean=127.5/255=0.5,
+        # std=127.5/255=0.5; dim=5 leaves no grid cells
+        arr = np.array([[0, 255], [255, 0]], dtype=np.uint8)[:, :, None]
+        out = pixel_features(arr, 5)
+        assert out.tolist() == [2.0, 2.0, 1.0, 0.5, 0.5]
+
+    def test_tiny_image_grid_has_no_nan(self):
+        # r3 regression: h < grid rows made array_split emit empty blocks
+        # whose mean is NaN (floor(NaN) raises in Python, nulls in Spark)
+        from pdf_parser_spark.operators.multimodal import pixel_features
+
+        arr = np.arange(40, dtype=np.uint8)[None, :, None]  # 1 x 40
+        out = pixel_features(arr, 16)
+        assert np.isfinite(out).all()
+
+
+class TestImgFixture:
+    def test_fixture_idempotent_and_goldens_match_kernel(self, tmp_path):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from pdf_parser_spark.operators.multimodal import (
+            _fake_features, decode_image, pixel_features,
+        )
+        from pdf_parser_spark.sources.img_fixture import ensure_img_fixture
+
+        p1 = ensure_img_fixture(str(tmp_path))
+        p2 = ensure_img_fixture(str(tmp_path))
+        assert p1 == p2
+        media = pq.read_table(p1).to_pydict()
+        goldens = pq.read_table(
+            p1.replace("media.parquet", "media_goldens.parquet")
+        ).to_pydict()
+        assert media["url"] == goldens["url"] and len(media["url"]) == 8
+        # every golden row re-derives from the kernel functions; PNG rows
+        # must be REAL pixel features (differ from the digest fallback)
+        n_real = 0
+        for url, payload, want in zip(
+            media["url"], media["payload"], goldens["features_i"]
+        ):
+            try:
+                feats = pixel_features(decode_image(bytes(payload)), 16)
+                n_real += 1
+            except Exception:
+                feats = _fake_features(bytes(payload), 16)
+            got = ",".join(
+                str(math.floor(float(f) * 1_000_000)) for f in feats
+            )
+            assert got == want, url
+        assert n_real == 5  # the five valid PNGs decode for real
