@@ -1018,10 +1018,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """)
     q["sql_udtf_field_rows"] = sql_udtf_field_rows
 
-    def media_png_real_features(spark, sf_dir):
-        # real-decode path: PNG payloads flow through the from-scratch
-        # decoder (kernels/png.py) into pixel features inside the Spark
-        # plan; corrupt/foreign payloads fall back to the digest featurizer
+    def media_image_real_features(spark, sf_dir):
+        # real-decode path: PNG and baseline-JPEG payloads flow through the
+        # from-scratch decoders (kernels/png.py, kernels/jpeg.py) into pixel
+        # features inside the Spark plan; corrupt/foreign payloads fall
+        # back to the digest featurizer
         # per the error-isolation contract. Features project to
         # floor(f*1e6) int CSV — IEEE-exact in both engines, no rounding
         # ties — and the oracle reads the fixture's baked goldens.
@@ -1040,7 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ",",
             ).alias("features_i"),
         ).orderBy("url")
-    q["media_png_real_features"] = media_png_real_features
+    q["media_image_real_features"] = media_image_real_features
 
     def media_wav_metadata(spark, sf_dir):
         # real audio-container decode (from-scratch RIFF/WAVE walk) over a
@@ -1076,7 +1077,7 @@ _VERIFY_FIRST = [
     # red in r1+r2 (oracle dtype artifact, fixed this round) — re-prove
     "text_bpe_token_counts", "olap_event_pivot",
     # new this round
-    "dedup_clusters_capped", "media_png_real_features",
+    "dedup_clusters_capped", "media_image_real_features",
 ]
 
 
@@ -2077,7 +2078,7 @@ def oracle_sql() -> dict[str, str]:
           END AS duration_ms
         FROM m ORDER BY url
     """
-    o["media_png_real_features"] = f"""
+    o["media_image_real_features"] = f"""
         SELECT url, n_bytes, feature_dim, features_i
         FROM read_parquet('{IMG_GOLDENS_01}') ORDER BY url
     """

@@ -60,10 +60,12 @@ _FILLER = [
 _NAV_WORDS = ["Home", "Products", "Claims", "Support", "About", "Login", "Careers", "Blog"]
 
 # rows per scale factor: ~TPC-H-ish growth, small enough to generate quickly
-_SF_ROWS = {0.001: 100, 0.01: 500, 0.1: 6000, 1.0: 60000}
-_SF_MEGA = {0.001: 0, 0.01: 250, 0.1: 300, 1.0: 300}  # every Nth row is a mega-doc
-_SF_MEGA_BYTES = {0.001: 0, 0.01: 200_000, 0.1: 2_000_000, 1.0: 2_000_000}
-_SF_PAD = {0.001: 0, 0.01: 2_000, 0.1: 30_000, 1.0: 30_000}  # baseline per-doc pad bytes
+_SF_ROWS = {0.001: 100, 0.01: 500, 0.1: 6000, 1.0: 60000, 3.0: 180000}
+# sf3 keeps sf1's per-doc shape (pad + mega cadence) so throughput numbers
+# are comparable across the two scales — only the corpus volume grows
+_SF_MEGA = {0.001: 0, 0.01: 250, 0.1: 300, 1.0: 300, 3.0: 300}  # every Nth row is a mega-doc
+_SF_MEGA_BYTES = {0.001: 0, 0.01: 200_000, 0.1: 2_000_000, 1.0: 2_000_000, 3.0: 2_000_000}
+_SF_PAD = {0.001: 0, 0.01: 2_000, 0.1: 30_000, 1.0: 30_000, 3.0: 30_000}  # baseline per-doc pad bytes
 
 
 def _claim_lines(rng: random.Random, i: int) -> Tuple[List[str], Dict[str, str]]:

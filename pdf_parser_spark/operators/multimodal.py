@@ -146,20 +146,25 @@ def media_av_metadata(
 def decode_image(payload: bytes) -> "np.ndarray":
     """Codec decode to a (h, w, c) uint8 pixel array.
 
-    PNG decodes for real via the from-scratch pure-Python codec
-    (kernels/png.py — zlib inflate + scanline unfilter from the public
-    spec). Other formats (JPEG/GIF/video) need codec libraries not present
-    in this container and raise NotImplementedError; production swaps in a
-    Pillow/ffmpeg-backed decode without touching any Spark plan. The
-    deterministic digest featurizer below keeps the plumbing testable for
-    the unsupported formats.
+    PNG and baseline JPEG decode for real via the from-scratch pure-Python
+    codecs (kernels/png.py — zlib inflate + scanline unfilter; kernels/
+    jpeg.py — Huffman + dequant + IDCT + chroma upsampling, both from the
+    public specs). Remaining formats (GIF/video/progressive JPEG) need
+    codec libraries not present in this container and raise
+    NotImplementedError; production swaps in a Pillow/ffmpeg-backed decode
+    without touching any Spark plan. The deterministic digest featurizer
+    below keeps the plumbing testable for the unsupported formats.
     """
+    from ..kernels.jpeg import JPEG_SOI, decode_jpeg
     from ..kernels.png import PNG_SIGNATURE, decode_png
 
-    if (payload or b"")[:8] == PNG_SIGNATURE:
+    payload = payload or b""
+    if payload[:8] == PNG_SIGNATURE:
         return decode_png(payload)
+    if payload[:2] == JPEG_SOI:
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "non-PNG codec decode requires an image library not present in this container"
+        "non-PNG/JPEG codec decode requires an image library not present in this container"
     )
 
 

@@ -59,6 +59,23 @@ def _pngs() -> list:
     return out
 
 
+def _jpegs() -> list:
+    from ..kernels.jpeg import encode_jpeg
+
+    yy, xx = np.indices((21, 34))
+    rgb = np.stack(
+        [(yy * 5 + 20) % 230, (xx * 3 + 60) % 230, ((yy + xx) * 4) % 230],
+        axis=2,
+    ).astype(np.uint8)
+    gray = (np.add.outer(np.arange(15) * 13, np.arange(19) * 7) % 256).astype(np.uint8)
+    return [
+        ("i-photo444", encode_jpeg(rgb, quality=92)),
+        ("j-photo420", encode_jpeg(rgb, quality=85, subsample=(2, 2),
+                                   restart_interval=2)),
+        ("k-gray", encode_jpeg(gray, quality=90)),
+    ]
+
+
 def _feature_ints(payload: bytes, dim: int) -> str:
     from ..operators.multimodal import _fake_features, decode_image, pixel_features
 
@@ -77,13 +94,18 @@ def ensure_img_fixture(corpus_dir: str) -> str:
         return path
     rows = [(f"https://fixtures.test/img/{name}.png", data)
             for name, data in _pngs()]
-    # fallback rows: corrupt PNG (signature, truncated IDAT), foreign codec
-    # magic, junk — all must yield digest features, never kill the task
+    # fallback rows: corrupt PNG (signature, truncated IDAT), corrupt JPEG
+    # (SOI magic, junk segments), junk — all must yield digest features,
+    # never kill the task
     good = rows[0][1]
     rows.append(("https://fixtures.test/img/f-truncated.png", good[: len(good) // 2]))
-    rows.append(("https://fixtures.test/img/g-photo.jpg",
+    rows.append(("https://fixtures.test/img/g-corrupt.jpg",
                  b"\xff\xd8\xff\xe0" + b"not really a jpeg" * 3))
     rows.append(("https://fixtures.test/img/h-junk.bin", b"\x00\x01binary junk"))
+    # real baseline JPEGs (kernels/jpeg.py encoder): 4:4:4, 4:2:0 with
+    # restart markers, grayscale — decode for real into pixel features
+    rows += [(f"https://fixtures.test/img/{name}.jpg", data)
+             for name, data in _jpegs()]
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(p: str, tbl: pa.Table) -> None:

@@ -27,7 +27,8 @@ DOC_QUERIES = [
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
     "dedup_minhash_lsh_pairs_capped", "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_pruned", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_clusters", "text_token_count", "text_quality_score",
+    "dedup_clusters", "dedup_clusters_capped",
+    "text_token_count", "text_quality_score",
     "text_lang_id", "text_fingerprint", "text_winnow_fingerprint",
     "text_lm_quality", "text_bpe_token_counts", "clean_repetition_flags",
     "clean_stopword_stats", "shape_chunk_documents", "shape_pack_documents",
