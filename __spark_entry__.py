@@ -1043,6 +1043,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("url")
     q["media_image_real_features"] = media_image_real_features
 
+    def media_gif_frame_features(spark, sf_dir):
+        # real multi-frame sampling: animated/static GIFs decode for real
+        # (kernels/gif.py — LZW + interlace + disposal compositing) and
+        # n_frames are sampled evenly across the animation; corrupt/non-GIF
+        # payloads fall back to the byte-window digest featurizer. Same
+        # floor(f*1e6) projection + baked-goldens oracle as the image query.
+        from pdf_parser_spark.sources.img_fixture import ensure_img_fixture
+
+        path = ensure_img_fixture(ensure_corpus(sf_dir))
+        df = spark.read.parquet(path)
+        out = M.frame_sample(
+            df, bin_col="payload", n_frames=4, dim=8, real_decode=True
+        )
+        return out.select(
+            "url", "frame_idx",
+            F.array_join(
+                F.transform(
+                    F.col("frame_features"),
+                    lambda x: F.floor(x.cast("double") * 1000000).cast("string"),
+                ),
+                ",",
+            ).alias("features_i"),
+        ).orderBy("url", "frame_idx")
+    q["media_gif_frame_features"] = media_gif_frame_features
+
     def media_wav_metadata(spark, sf_dir):
         # real audio-container decode (from-scratch RIFF/WAVE walk) over a
         # deterministic fixture; the oracle re-derives every field with
@@ -1078,6 +1103,7 @@ _VERIFY_FIRST = [
     "text_bpe_token_counts", "olap_event_pivot",
     # new this round
     "dedup_clusters_capped", "media_image_real_features",
+    "media_gif_frame_features",
 ]
 
 
@@ -2081,6 +2107,11 @@ def oracle_sql() -> dict[str, str]:
     o["media_image_real_features"] = f"""
         SELECT url, n_bytes, feature_dim, features_i
         FROM read_parquet('{IMG_GOLDENS_01}') ORDER BY url
+    """
+    o["media_gif_frame_features"] = f"""
+        SELECT url, frame_idx, features_i
+        FROM read_parquet('{os.path.join(os.path.dirname(IMG_01), "frame_goldens.parquet")}')
+        ORDER BY url, frame_idx
     """
     o["media_metadata"] = f"""
         SELECT url, COALESCE(octet_length(html), 0) AS n_bytes,

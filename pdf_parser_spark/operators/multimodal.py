@@ -155,6 +155,7 @@ def decode_image(payload: bytes) -> "np.ndarray":
     without touching any Spark plan. The deterministic digest featurizer
     below keeps the plumbing testable for the unsupported formats.
     """
+    from ..kernels.gif import GIF_MAGICS, decode_gif_first_frame
     from ..kernels.jpeg import JPEG_SOI, decode_jpeg
     from ..kernels.png import PNG_SIGNATURE, decode_png
 
@@ -163,8 +164,10 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return decode_png(payload)
     if payload[:2] == JPEG_SOI:
         return decode_jpeg(payload)
+    if payload[:6] in GIF_MAGICS:
+        return decode_gif_first_frame(payload)
     raise NotImplementedError(
-        "non-PNG/JPEG codec decode requires an image library not present in this container"
+        "video/progressive-JPEG decode requires codec libraries not present in this container"
     )
 
 
@@ -298,6 +301,35 @@ def image_resize(
     return df.select(key_col, bin_col).mapInPandas(kernel, RESIZE_SCHEMA)
 
 
+def frame_feature_rows(
+    payload: bytes, n_frames: int, dim: int, real_decode: bool = False,
+) -> list:
+    """Per-payload frame features: the single source of truth shared by the
+    frame_sample kernel and the fixture golden generator (no drift). With
+    real_decode, animated/static GIFs decode for real and frames are
+    sampled evenly; anything else (or corrupt GIFs) falls back to digest
+    features over evenly spaced byte windows."""
+    from ..kernels.gif import GIF_MAGICS, decode_gif
+
+    if real_decode and payload[:6] in GIF_MAGICS:
+        try:
+            frames = decode_gif(payload)
+            return [
+                [float(x) for x in pixel_features(
+                    frames[(i * len(frames)) // n_frames], dim)]
+                for i in range(n_frames)
+            ]
+        except Exception:
+            pass  # corrupt container -> digest fallback
+    out = []
+    for i in range(n_frames):
+        start = int((i / n_frames) * max(len(payload) - 64, 0))
+        out.append(
+            [float(x) for x in _fake_features(payload[start:start + 64], dim)]
+        )
+    return out
+
+
 FRAME_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("frame_idx", IntegerType()),
@@ -312,30 +344,36 @@ def frame_sample(
     dim: int = 8,
     bin_col: str = "html",
     key_col: str = "url",
+    real_decode: bool = False,
 ) -> DataFrame:
     """Frame-sampling plumbing: one input row fans out to n_frames rows
     (UDTF shape via mapInPandas — output batches need not align 1:1 with
-    input rows). Each "frame" is featurized from a deterministic byte window
-    at evenly spaced offsets; production replaces the window read with an
-    ffmpeg seek+decode at the same offsets.
+    input rows).
+
+    With real_decode, animated-GIF payloads decode for real (kernels/
+    gif.py): n_frames are sampled evenly across the composited animation
+    (frame floor(i * total / n_frames)) and featurized from actual pixels.
+    Other containers — and any corrupt payload — fall back to the
+    deterministic byte-window digest featurizer (the same per-row
+    error-isolation contract as media_features); production swaps the GIF
+    path for an ffmpeg seek+decode at the same offsets without touching
+    the Spark plan.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def rows_for(payload):
+            return frame_feature_rows(payload, n_frames, dim, real_decode)
+
         for pdf in batches:
             out: dict = {"url": [], "frame_idx": [], "offset_frac": [],
                          "frame_features": []}
             for url, payload in zip(pdf[key_col], pdf[bin_col]):
                 payload = payload or b""
-                for i in range(n_frames):
-                    frac = i / n_frames
-                    start = int(frac * max(len(payload) - 64, 0))
-                    window = payload[start: start + 64]
+                for i, feats in enumerate(rows_for(payload)):
                     out["url"].append(url)
                     out["frame_idx"].append(i)
-                    out["offset_frac"].append(frac)
-                    out["frame_features"].append(
-                        [float(x) for x in _fake_features(window, dim)]
-                    )
+                    out["offset_frac"].append(i / n_frames)
+                    out["frame_features"].append(feats)
             yield pd.DataFrame({
                 "url": out["url"],
                 "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),

@@ -76,6 +76,26 @@ def _jpegs() -> list:
     ]
 
 
+def _gifs() -> list:
+    from ..kernels.gif import encode_gif
+
+    # animated: moving block over a gradient background, 6 frames
+    frames = []
+    for k in range(6):
+        a = np.zeros((18, 24, 3), np.uint8)
+        a[:, :, 2] = (np.arange(24) * 10 % 250)[None, :]
+        a[2 + k:7 + k, 3 * k:3 * k + 5] = [250, 40, 10]
+        frames.append(a)
+    yy, xx = np.indices((12, 16))
+    static = np.stack(
+        [((yy + xx) * 16 % 240), yy * 0 + 33, xx * 12 % 240], axis=2
+    ).astype(np.uint8)
+    return [
+        ("l-anim", encode_gif(frames, delay_cs=5)),
+        ("m-static", encode_gif(static)),
+    ]
+
+
 def _feature_ints(payload: bytes, dim: int) -> str:
     from ..operators.multimodal import _fake_features, decode_image, pixel_features
 
@@ -86,11 +106,25 @@ def _feature_ints(payload: bytes, dim: int) -> str:
     return ",".join(str(math.floor(float(f) * 1_000_000)) for f in feats)
 
 
+FRAME_N, FRAME_DIM = 4, 8
+
+
+def _frame_golden_rows(url: str, payload: bytes) -> list:
+    from ..operators.multimodal import frame_feature_rows
+
+    rows = frame_feature_rows(payload, FRAME_N, FRAME_DIM, real_decode=True)
+    return [
+        (url, i, ",".join(str(math.floor(float(f) * 1_000_000)) for f in feats))
+        for i, feats in enumerate(rows)
+    ]
+
+
 def ensure_img_fixture(corpus_dir: str) -> str:
     out_dir = os.path.join(corpus_dir, "img")
     path = os.path.join(out_dir, "media.parquet")
     gpath = os.path.join(out_dir, "media_goldens.parquet")
-    if os.path.exists(path) and os.path.exists(gpath):
+    fpath = os.path.join(out_dir, "frame_goldens.parquet")
+    if os.path.exists(path) and os.path.exists(gpath) and os.path.exists(fpath):
         return path
     rows = [(f"https://fixtures.test/img/{name}.png", data)
             for name, data in _pngs()]
@@ -106,6 +140,14 @@ def ensure_img_fixture(corpus_dir: str) -> str:
     # restart markers, grayscale — decode for real into pixel features
     rows += [(f"https://fixtures.test/img/{name}.jpg", data)
              for name, data in _jpegs()]
+    # real GIFs (kernels/gif.py): an animated 6-frame and a static image —
+    # the first frame feeds media_features, all frames feed frame_sample —
+    # plus a corrupt GIF fallback row
+    gifs = _gifs()
+    rows += [(f"https://fixtures.test/img/{name}.gif", data)
+             for name, data in gifs]
+    rows.append(("https://fixtures.test/img/n-corrupt.gif",
+                 gifs[0][1][: len(gifs[0][1]) // 3]))
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(p: str, tbl: pa.Table) -> None:
@@ -128,6 +170,18 @@ def ensure_img_fixture(corpus_dir: str) -> str:
         schema=pa.schema([
             ("url", pa.string()), ("n_bytes", pa.int64()),
             ("feature_dim", pa.int32()), ("features_i", pa.string()),
+        ]),
+    ))
+    frows = [fr for url, payload in rows for fr in _frame_golden_rows(url, payload)]
+    _write(fpath, pa.Table.from_pydict(
+        {
+            "url": [r[0] for r in frows],
+            "frame_idx": [r[1] for r in frows],
+            "features_i": [r[2] for r in frows],
+        },
+        schema=pa.schema([
+            ("url", pa.string()), ("frame_idx", pa.int32()),
+            ("features_i", pa.string()),
         ]),
     ))
     return path

@@ -153,10 +153,12 @@ class TestMultimodalExt:
         assert v1[0].frame_features != v1[2].frame_features
 
     def test_decode_stub_raises(self):
+        # JPEG/PNG/GIF now decode for real; the remaining stub boundary is
+        # video (and any unrecognized magic)
         from pdf_parser_spark.operators.multimodal import decode_image
 
         with pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8\xff fake jpeg")
+            decode_image(b"\x00\x00\x00\x20ftypisom fake mp4")
 
 
 class TestWinnowFingerprint:

@@ -96,7 +96,7 @@ class TestRealDecodePath:
         arr = _rand((8, 8, 3), seed=1)
         assert np.array_equal(decode_image(encode_png(arr)), arr)
         with pytest.raises(NotImplementedError):
-            decode_image(b"GIF89a not supported")
+            decode_image(b"\x00\x00\x00\x20ftypmp42 video not supported")
 
     def test_media_features_real_decode(self, spark):
         from pdf_parser_spark.operators.multimodal import (
@@ -158,7 +158,7 @@ class TestImgFixture:
         goldens = pq.read_table(
             p1.replace("media.parquet", "media_goldens.parquet")
         ).to_pydict()
-        assert media["url"] == goldens["url"] and len(media["url"]) == 11
+        assert media["url"] == goldens["url"] and len(media["url"]) == 14
         # every golden row re-derives from the kernel functions; PNG rows
         # must be REAL pixel features (differ from the digest fallback)
         n_real = 0
@@ -174,4 +174,4 @@ class TestImgFixture:
                 str(math.floor(float(f) * 1_000_000)) for f in feats
             )
             assert got == want, url
-        assert n_real == 8  # five valid PNGs + three baseline JPEGs decode for real
+        assert n_real == 10  # 5 PNGs + 3 JPEGs + 2 GIFs decode for real
