@@ -1068,6 +1068,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("url", "frame_idx")
     q["media_gif_frame_features"] = media_gif_frame_features
 
+    def media_thumbnails(spark, sf_dir):
+        # real resize path: decode (PNG/JPEG/GIF) -> nearest-neighbor
+        # resample -> lossless PNG re-encode, so the thumbnail BYTES are
+        # deterministic; undecodable rows keep the digest thumbnail. Binary
+        # compared via lower(hex()) (this DuckDB's only BLOB-safe rendering)
+        from pdf_parser_spark.sources.img_fixture import (
+            THUMB_H, THUMB_W, ensure_img_fixture,
+        )
+
+        path = ensure_img_fixture(ensure_corpus(sf_dir))
+        df = spark.read.parquet(path)
+        out = M.image_resize(
+            df, out_w=THUMB_W, out_h=THUMB_H, bin_col="payload",
+            real_decode=True,
+        )
+        return out.select(
+            "url", "out_w", "out_h",
+            F.lower(F.hex(F.col("thumb"))).alias("thumb_hex"),
+        ).orderBy("url")
+    q["media_thumbnails"] = media_thumbnails
+
     def media_wav_metadata(spark, sf_dir):
         # real audio-container decode (from-scratch RIFF/WAVE walk) over a
         # deterministic fixture; the oracle re-derives every field with
@@ -1103,7 +1124,7 @@ _VERIFY_FIRST = [
     "text_bpe_token_counts", "olap_event_pivot",
     # new this round
     "dedup_clusters_capped", "media_image_real_features",
-    "media_gif_frame_features",
+    "media_gif_frame_features", "media_thumbnails",
 ]
 
 
@@ -2112,6 +2133,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, frame_idx, features_i
         FROM read_parquet('{os.path.join(os.path.dirname(IMG_01), "frame_goldens.parquet")}')
         ORDER BY url, frame_idx
+    """
+    o["media_thumbnails"] = f"""
+        SELECT url, out_w, out_h, lower(hex(thumb)) AS thumb_hex
+        FROM read_parquet('{os.path.join(os.path.dirname(IMG_01), "thumb_goldens.parquet")}')
+        ORDER BY url
     """
     o["media_metadata"] = f"""
         SELECT url, COALESCE(octet_length(html), 0) AS n_bytes,

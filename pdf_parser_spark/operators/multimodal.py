@@ -269,25 +269,52 @@ RESIZE_SCHEMA = StructType([
 ])
 
 
+def _nn_resize(arr: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Nearest-neighbor resample to (out_h, out_w, c) — pixel-center
+    sampling (floor((i + 0.5) * src/dst)), the standard deterministic map."""
+    h, w = arr.shape[:2]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return arr[ys[:, None], xs[None, :]]
+
+
+def thumbnail_bytes(
+    payload: bytes, out_w: int, out_h: int, real_decode: bool = False,
+) -> bytes:
+    """decode -> nearest-neighbor resize -> PNG re-encode; the single source
+    of truth shared by the image_resize kernel and the fixture golden
+    generator. Payloads no codec handles (or corrupt ones) fall back to the
+    deterministic digest thumbnail (exactly out_w*out_h raw bytes), keeping
+    the schema/size contract real for every row."""
+    payload = payload or b""
+    if real_decode:
+        try:
+            from ..kernels.png import encode_png
+
+            return encode_png(_nn_resize(decode_image(payload), out_w, out_h))
+        except Exception:
+            pass
+    digest = hashlib.sha256(payload).digest()
+    reps = (out_w * out_h + len(digest) - 1) // len(digest)
+    return (digest * reps)[: out_w * out_h]
+
+
 def image_resize(
     df: DataFrame,
     out_w: int = 32,
     out_h: int = 32,
     bin_col: str = "html",
     key_col: str = "url",
+    real_decode: bool = False,
 ) -> DataFrame:
-    """Resize plumbing: decode -> resample -> re-encode, Arrow-batched.
+    """Resize: decode -> resample -> re-encode, Arrow-batched.
 
-    The resample itself is the stubbed decode (deterministic fake thumbnail
-    seeded by content digest — exactly out_w*out_h bytes, so downstream
-    schema/size contracts are real); production swaps `_fake_thumb` for a
-    Pillow `Image.resize` without touching the Spark plan.
+    With real_decode, PNG/JPEG/GIF payloads decode via the from-scratch
+    codecs, resample by nearest neighbor, and re-encode as PNG (lossless,
+    so the thumbnail bytes are deterministic and oracle-comparable);
+    undecodable payloads keep the digest-thumbnail fallback. Production
+    swaps the resample for Pillow/ffmpeg without touching the Spark plan.
     """
-
-    def _fake_thumb(payload: bytes) -> bytes:
-        digest = hashlib.sha256(payload or b"").digest()
-        reps = (out_w * out_h + len(digest) - 1) // len(digest)
-        return (digest * reps)[: out_w * out_h]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -295,7 +322,8 @@ def image_resize(
                 "url": pdf[key_col],
                 "out_w": pd.Series([out_w] * len(pdf), dtype="int32"),
                 "out_h": pd.Series([out_h] * len(pdf), dtype="int32"),
-                "thumb": [_fake_thumb(p) for p in pdf[bin_col]],
+                "thumb": [thumbnail_bytes(p, out_w, out_h, real_decode)
+                          for p in pdf[bin_col]],
             })
 
     return df.select(key_col, bin_col).mapInPandas(kernel, RESIZE_SCHEMA)

@@ -107,6 +107,7 @@ def _feature_ints(payload: bytes, dim: int) -> str:
 
 
 FRAME_N, FRAME_DIM = 4, 8
+THUMB_W, THUMB_H = 16, 12
 
 
 def _frame_golden_rows(url: str, payload: bytes) -> list:
@@ -124,7 +125,8 @@ def ensure_img_fixture(corpus_dir: str) -> str:
     path = os.path.join(out_dir, "media.parquet")
     gpath = os.path.join(out_dir, "media_goldens.parquet")
     fpath = os.path.join(out_dir, "frame_goldens.parquet")
-    if os.path.exists(path) and os.path.exists(gpath) and os.path.exists(fpath):
+    tpath = os.path.join(out_dir, "thumb_goldens.parquet")
+    if all(os.path.exists(p) for p in (path, gpath, fpath, tpath)):
         return path
     rows = [(f"https://fixtures.test/img/{name}.png", data)
             for name, data in _pngs()]
@@ -170,6 +172,21 @@ def ensure_img_fixture(corpus_dir: str) -> str:
         schema=pa.schema([
             ("url", pa.string()), ("n_bytes", pa.int64()),
             ("feature_dim", pa.int32()), ("features_i", pa.string()),
+        ]),
+    ))
+    from ..operators.multimodal import thumbnail_bytes
+
+    _write(tpath, pa.Table.from_pydict(
+        {
+            "url": [r[0] for r in rows],
+            "out_w": [THUMB_W] * len(rows),
+            "out_h": [THUMB_H] * len(rows),
+            "thumb": [thumbnail_bytes(r[1], THUMB_W, THUMB_H, real_decode=True)
+                      for r in rows],
+        },
+        schema=pa.schema([
+            ("url", pa.string()), ("out_w", pa.int32()),
+            ("out_h", pa.int32()), ("thumb", pa.binary()),
         ]),
     ))
     frows = [fr for url, payload in rows for fr in _frame_golden_rows(url, payload)]

@@ -137,6 +137,30 @@ class TestMultimodalExt:
         again = {r.url: r for r in image_resize(df, out_w=8, out_h=4).collect()}
         assert bytes(again["u1"].thumb) == bytes(rows["u1"].thumb)
 
+    def test_image_resize_real_decode(self, spark):
+        # real path: thumb is a lossless PNG of the nearest-neighbor
+        # resample — decode it back and check exact pixels
+        import numpy as np
+
+        from pdf_parser_spark.kernels.png import decode_png, encode_png
+        from pdf_parser_spark.operators.multimodal import (
+            _nn_resize, image_resize,
+        )
+
+        arr = np.random.RandomState(5).randint(0, 256, (20, 30, 3)).astype(np.uint8)
+        df = spark.createDataFrame(
+            [("img", bytearray(encode_png(arr))), ("junk", b"not an image")],
+            "url string, html binary",
+        )
+        rows = {r.url: r
+                for r in image_resize(df, out_w=10, out_h=5,
+                                      real_decode=True).collect()}
+        thumb = decode_png(bytes(rows["img"].thumb))
+        assert thumb.shape == (5, 10, 3)
+        assert np.array_equal(thumb, _nn_resize(arr, 10, 5))
+        # undecodable payload keeps the raw digest-thumbnail contract
+        assert len(bytes(rows["junk"].thumb)) == 10 * 5
+
     def test_frame_sample_fans_out(self, spark):
         from pdf_parser_spark.operators.multimodal import frame_sample
 
