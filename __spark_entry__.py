@@ -1089,6 +1089,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("url")
     q["media_thumbnails"] = media_thumbnails
 
+    def stream_extract_lift(spark, sf_dir):
+        # REAL Structured Streaming execution inside the correctness gate:
+        # the extraction kernel runs as a checkpointed availableNow stream
+        # (maxFilesPerTrigger=4 -> several genuine micro-batches), drains,
+        # and the committed parquet is compared against the frozen goldens —
+        # stream output must equal the batch pipeline byte-for-byte
+        import shutil
+        import tempfile
+
+        from pdf_parser_spark.streaming.stream import stream_extract
+
+        d = ensure_corpus(sf_dir)
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "ppspark_stream_" + os.path.basename(os.path.normpath(d)),
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        qry = stream_extract(
+            spark, d, os.path.join(base, "out"), os.path.join(base, "ckpt")
+        )
+        qry.awaitTermination()
+        return (
+            spark.read.parquet(os.path.join(base, "out"))
+            .select(
+                "url", "status",
+                # error rows carry the raw input text through the kernel
+                # (useful for debugging); goldens only pin ok-row text
+                F.when(F.col("status") == "ok", F.col("text")).alias("text"),
+            )
+            .orderBy("url")
+        )
+    q["stream_extract_lift"] = stream_extract_lift
+
     def media_wav_metadata(spark, sf_dir):
         # real audio-container decode (from-scratch RIFF/WAVE walk) over a
         # deterministic fixture; the oracle re-derives every field with
@@ -1124,7 +1157,7 @@ _VERIFY_FIRST = [
     "text_bpe_token_counts", "olap_event_pivot",
     # new this round
     "dedup_clusters_capped", "media_image_real_features",
-    "media_gif_frame_features", "media_thumbnails",
+    "media_gif_frame_features", "media_thumbnails", "stream_extract_lift",
 ]
 
 
@@ -2133,6 +2166,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, frame_idx, features_i
         FROM read_parquet('{os.path.join(os.path.dirname(IMG_01), "frame_goldens.parquet")}')
         ORDER BY url, frame_idx
+    """
+    o["stream_extract_lift"] = f"""
+        SELECT url,
+               CASE WHEN golden_text IS NULL THEN 'error' ELSE 'ok' END AS status,
+               golden_text AS text
+        FROM {goldens} ORDER BY url
     """
     o["media_thumbnails"] = f"""
         SELECT url, out_w, out_h, lower(hex(thumb)) AS thumb_hex

@@ -150,9 +150,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
     banded = banded.select(id_col, "bk.band", "bk.key")
     if max_bucket is not None:
-        sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bsz"))
+        # bucket-size filter as a window count: ONE shuffle of `banded` by
+        # (band, key), which is also the self-join key — vs the previous
+        # groupBy+join form that shuffled banded twice and joined (measured
+        # 28 -> fewer exchanges; same rows, the oracle's QUALIFY count)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
         banded = (
-            banded.join(sizes.where(F.col("_bsz") <= max_bucket), ["band", "key"])
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )
     left = banded.alias("l")
