@@ -1,19 +1,24 @@
-"""From-scratch baseline JPEG codec (pure Python + numpy, no codec libs).
+"""From-scratch JPEG codec — baseline AND progressive (pure Python+numpy).
 
-Implements the baseline sequential DCT process of the public JPEG spec
-(ITU-T T.81 / ISO 10918-1): marker parsing, DQT/DHT/SOF0/SOS/DRI segments,
+Implements the DCT processes of the public JPEG spec (ITU-T T.81 /
+ISO 10918-1): marker parsing, DQT/DHT/SOF0/SOF2/SOS/DRI segments,
 canonical Huffman entropy decoding with byte-stuffing and restart markers,
 dequantization, inverse zigzag, a vectorized 8x8 IDCT, chroma upsampling
 (4:4:4 / 4:2:2 / 4:2:0 by pixel replication), and BT.601 YCbCr->RGB.
-Progressive (SOF2), arithmetic, hierarchical and 12-bit streams are
-refused with JPEGError — per-row error isolation upstream turns that into
-the digest-featurizer fallback, never a task failure.
+Progressive streams (SOF2) decode in full: spectral selection, successive
+approximation for DC and AC (bit-plane refinement with correction bits),
+and EOB runs per spec G.2. Arithmetic-coded, hierarchical and 12-bit
+streams are refused with JPEGError — per-row error isolation upstream
+turns that into the digest-featurizer fallback, never a task failure.
 
-The encoder emits baseline 4:4:4 (or grayscale) streams with the spec's
-Annex K example quantization and Huffman tables, which is enough to give
-the decoder real differential fixtures (encode -> decode must reproduce
-pixels within quantization error) without any image library in the
-container. Like kernels/png.py, this replaces a digest placeholder: the
+Two encoders provide differential fixtures without any image library in
+the container: `encode_jpeg` (baseline, Annex K tables, optional
+subsampling + restart intervals) and `encode_jpeg_progressive` (SOF2 with
+a libjpeg-style scan script — DC-first/AC spectral bands/successive
+refinements). The progressive stream must decode to EXACTLY the pixels of
+the baseline stream at the same quality (same quantized coefficients,
+different transmission order), which pins both entropy layers to each
+other. Like kernels/png.py, this replaces a digest placeholder: the
 reference delegates media handling entirely (no parallel in
 iWhyDuck/pdf-parser); this is the engine-side real-decode path for the
 multimodal feature operators (operators/multimodal.py).
@@ -26,7 +31,8 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-__all__ = ["JPEGError", "decode_jpeg", "encode_jpeg", "JPEG_SOI"]
+__all__ = ["JPEGError", "decode_jpeg", "encode_jpeg",
+           "encode_jpeg_progressive", "JPEG_SOI"]
 
 JPEG_SOI = b"\xff\xd8"
 
@@ -247,10 +253,14 @@ def _idct_blocks(blocks: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG payload to (h, w, c) uint8, c in {1, 3}.
+    """Decode a baseline OR progressive JPEG payload to (h, w, c) uint8.
 
-    Grayscale streams return c=1; YCbCr returns RGB. Raises JPEGError for
-    progressive/arithmetic/12-bit or malformed streams.
+    Baseline sequential (SOF0/1) decodes in one scan; progressive (SOF2)
+    accumulates coefficients across all scans — spectral selection,
+    successive approximation (DC and AC refinement bit-planes), and EOB
+    runs per spec G.2. Grayscale streams return c=1; YCbCr returns RGB.
+    Raises JPEGError for arithmetic/hierarchical/12-bit or malformed
+    streams.
     """
     if data[:2] != JPEG_SOI:
         raise JPEGError("missing SOI marker")
@@ -261,16 +271,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     restart_interval = 0
     n = len(data)
     while True:
-        if pos + 4 > n:
-            raise JPEGError("truncated before SOS")
+        if pos + 2 > n:
+            raise JPEGError("truncated before EOI")
         if data[pos] != 0xFF:
             raise JPEGError(f"expected marker at {pos}")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD8:
             continue
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
+        if pos + 2 > n:
+            raise JPEGError("truncated segment header")
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
         seg = data[pos + 2:pos + seglen]
         if len(seg) != seglen - 2:
@@ -302,7 +316,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise JPEGError("short DHT table")
                 htables[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(-ish) sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise JPEGError("only 8-bit precision supported")
@@ -310,31 +324,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = _new_frame(h, w, comps, progressive=(marker == 0xC2))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise JPEGError("non-baseline JPEG process not supported")
+            raise JPEGError("lossless/arithmetic/hierarchical JPEG not supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS -> entropy data follows
             if frame is None:
                 raise JPEGError("SOS before SOF")
-            ns = seg[0]
-            scan = {}
-            for si in range(ns):
-                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
-                scan[cs] = (tt >> 4, tt & 0x0F)
-            pos += seglen
-            return _decode_scan(
-                data, pos, frame, scan, qtables, htables, restart_interval
+            pos = _decode_scan_segment(
+                data, pos + seglen, frame, seg, htables, restart_interval
             )
+            continue
         # APPn/COM/unknown: skip
         pos += seglen
+    if frame is None or not frame.get("scanned"):
+        raise JPEGError("no scan data before EOI")
+    return _reconstruct(frame, qtables)
 
 
-def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
-    comps = frame["comps"]
-    h, w = frame["h"], frame["w"]
+def _new_frame(h, w, comps, progressive):
+    if h == 0 or w == 0:
+        raise JPEGError("zero-dimension frame")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
@@ -342,75 +354,199 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     for c in comps:
-        if c["id"] not in scan:
-            raise JPEGError("scan missing component")
-        if c["tq"] not in qtables:
-            raise JPEGError("missing quant table")
-        c["dc"], c["ac"] = scan[c["id"]]
-        if (0, c["dc"]) not in htables or (1, c["ac"]) not in htables:
-            raise JPEGError("missing Huffman table")
-        c["bw"] = mcux * c["h"]  # blocks across the padded plane
+        c["bw"] = mcux * c["h"]  # blocks across the MCU-padded plane
         c["bh"] = mcuy * c["v"]
+        # the block grid a NONINTERLEAVED scan walks: just the blocks that
+        # cover this component's actual pixels, not the MCU padding
+        comp_w = -(-(w * c["h"]) // hmax)  # ceil(w * h_i / hmax)
+        comp_h = -(-(h * c["v"]) // vmax)
+        c["ubw"] = -(-comp_w // 8)
+        c["ubh"] = -(-comp_h // 8)
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
         c["pred"] = 0
+    return {"h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
+            "mcux": mcux, "mcuy": mcuy, "progressive": progressive}
+
+
+def _decode_scan_segment(data, pos, frame, seg, htables, restart_interval):
+    """Decode one entropy-coded scan into the frame's coefficient arrays;
+    returns the offset of the next marker after the scan data."""
+    ns = seg[0]
+    by_id = {c["id"]: c for c in frame["comps"]}
+    scomps = []
+    for si in range(ns):
+        cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+        if cs not in by_id:
+            raise JPEGError("scan references unknown component")
+        c = by_id[cs]
+        c["dc"], c["ac"] = tt >> 4, tt & 0x0F
+        scomps.append(c)
+    if frame["progressive"]:
+        ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+        ah, al = a >> 4, a & 0x0F
+        if not (0 <= ss <= se <= 63) or al > 13:
+            raise JPEGError("bad spectral selection / point transform")
+        if ss == 0 and se != 0:
+            raise JPEGError("progressive scan mixes DC and AC")
+        if ss > 0 and ns != 1:
+            raise JPEGError("progressive AC scan must be single-component")
+    else:
+        ss, se, ah, al = 0, 63, 0, 0
+    frame["scanned"] = True
+
+    for c in scomps:
+        c["pred"] = 0
+        if ss == 0 and ah == 0 and (0, c["dc"]) not in htables:
+            raise JPEGError("missing DC Huffman table")
+        if se > 0 and (1, c["ac"]) not in htables:
+            raise JPEGError("missing AC Huffman table")
 
     r = _BitReader(data, pos)
-    mcu = 0
-    total = mcux * mcuy
-    while mcu < total:
-        if restart_interval and mcu and mcu % restart_interval == 0:
+    state = {"eobrun": 0}
+
+    def decode_block(c, idx):
+        coef = c["coef"][idx]
+        if ss == 0:
+            if ah == 0:
+                sz = _decode_symbol(r, htables[(0, c["dc"])])
+                if sz > 11:
+                    raise JPEGError("bad DC size")
+                c["pred"] += _extend(r.bits(sz), sz)
+                coef[0] = c["pred"] << al
+            elif r.bit():  # DC successive-approximation refinement
+                coef[0] |= 1 << al
+            if se == 0:
+                return
+        act = htables[(1, c["ac"])]
+        if ah == 0:  # AC first pass (or the baseline full-range scan)
+            if state["eobrun"]:
+                state["eobrun"] -= 1
+                return
+            k = max(ss, 1)
+            while k <= se:
+                rs = _decode_symbol(r, act)
+                run, sz = rs >> 4, rs & 0x0F
+                if sz == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    state["eobrun"] = (1 << run) - 1
+                    if run:
+                        state["eobrun"] += r.bits(run)
+                    break  # EOB(n)
+                k += run
+                if k > se:
+                    raise JPEGError("AC run past band end")
+                coef[k] = _extend(r.bits(sz), sz) << al
+                k += 1
+        else:
+            _refine_ac(r, act, coef, ss, se, al, state)
+
+    def refine_bit(coef, k):
+        # correction bit: append the next magnitude bit to a coefficient
+        # that was already significant (bit al is 0 by construction)
+        if r.bit() and (abs(int(coef[k])) & (1 << al)) == 0:
+            coef[k] += (1 << al) if coef[k] > 0 else -(1 << al)
+
+    def _refine_ac(r_, act, coef, ss_, se_, al_, state_):
+        p1 = 1 << al_
+        k = ss_
+        if state_["eobrun"] == 0:
+            while k <= se_:
+                rs = _decode_symbol(r_, act)
+                run, sz = rs >> 4, rs & 0x0F
+                if sz == 0:
+                    if run < 15:
+                        # NOTE the convention differs from the first pass:
+                        # eobrun here INCLUDES the current block (the
+                        # post-loop below consumes its correction bits and
+                        # decrements), because refinement EOB blocks still
+                        # carry correction bits — they cannot be skipped
+                        state_["eobrun"] = 1 << run
+                        if run:
+                            state_["eobrun"] += r_.bits(run)
+                        break
+                    newval = 0  # ZRL: cross 16 zero-history positions
+                else:
+                    if sz != 1:
+                        raise JPEGError("AC refinement size must be 1")
+                    newval = p1 if r_.bit() else -p1
+                while k <= se_:
+                    if coef[k] != 0:
+                        refine_bit(coef, k)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if sz and k <= se_:
+                    coef[k] = newval
+                k += 1
+        if state_["eobrun"] > 0:
+            while k <= se_:
+                if coef[k] != 0:
+                    refine_bit(coef, k)
+                k += 1
+            state_["eobrun"] -= 1
+
+    # unit loop: MCUs when interleaved, this component's own block grid
+    # when single-component (spec A.2.2 noninterleaved order)
+    if ns > 1:
+        units = frame["mcux"] * frame["mcuy"]
+    else:
+        units = scomps[0]["ubw"] * scomps[0]["ubh"]
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
             r.align()
             m = r.at_marker()
             if not (0xD0 <= m <= 0xD7):
                 raise JPEGError("expected restart marker")
             r.pos += 2
-            for c in comps:
+            for c in scomps:
                 c["pred"] = 0
-        my, mx = divmod(mcu, mcux)
-        for c in comps:
-            dct = htables[(0, c["dc"])]
-            act = htables[(1, c["ac"])]
-            for v in range(c["v"]):
-                for hh in range(c["h"]):
-                    blk = np.zeros(64, dtype=np.int64)
-                    size = _decode_symbol(r, dct)
-                    if size > 11:
-                        raise JPEGError("bad DC size")
-                    diff = _extend(r.bits(size), size)
-                    c["pred"] += diff
-                    blk[0] = c["pred"]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_symbol(r, act)
-                        run, sz = rs >> 4, rs & 0x0F
-                        if sz == 0:
-                            if run == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += run
-                        if k > 63:
-                            raise JPEGError("AC run past block end")
-                        blk[k] = _extend(r.bits(sz), sz)
-                        k += 1
-                    by = my * c["v"] + v
-                    bx = mx * c["h"] + hh
-                    c["coef"][by * c["bw"] + bx] = blk
-        mcu += 1
+            state["eobrun"] = 0
+        if ns > 1:
+            my, mx = divmod(u, frame["mcux"])
+            for c in scomps:
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        by = my * c["v"] + v
+                        bx = mx * c["h"] + hh
+                        decode_block(c, by * c["bw"] + bx)
+        else:
+            c = scomps[0]
+            by, bx = divmod(u, c["ubw"])
+            decode_block(c, by * c["bw"] + bx)
 
+    # advance to the next marker (skipping any trailing RST)
+    p = r.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise JPEGError("entropy data ran past end of stream")
+
+
+def _reconstruct(frame, qtables):
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
-    for c in comps:
+    for c in frame["comps"]:
+        if c["tq"] not in qtables:
+            raise JPEGError("missing quant table")
         q = qtables[c["tq"]]
         deq = np.zeros((len(c["coef"]), 64), dtype=np.float64)
         deq[:, ZIGZAG] = (c["coef"] * q[None, :]).astype(np.float64)
         sam = _idct_blocks(deq.reshape(-1, 8, 8)) + 128.0
-        # reassemble block grid -> plane
         plane = (
             sam.reshape(c["bh"], c["bw"], 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(c["bh"] * 8, c["bw"] * 8)
         )
-        # upsample by replication to the padded full-res grid
         ry, rx = vmax // c["v"], hmax // c["h"]
         if vmax % c["v"] or hmax % c["h"]:
             raise JPEGError("non-integer sampling ratio")
@@ -627,5 +763,252 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += seg(0xDA, bytes(sos))
     out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive encoder (4:4:4 / grayscale, libjpeg-style scan script)
+# --------------------------------------------------------------------------
+
+# Progressive AC scans emit EOBn symbols (0x10..0xE0) that the baseline
+# Annex K tables do not define — real encoders ship custom tables per scan
+# (libjpeg computes optimized ones). Correctness-oriented fixture encoding
+# uses one flat canonical table instead: every symbol we can emit at code
+# length 8 (176 symbols < 256, prefix-free by construction; compression is
+# mediocre, which is irrelevant for differential fixtures).
+_AC_PROG_VALS = (
+    [r << 4 for r in range(15)]          # EOB0..EOB14
+    + [0xF0]                             # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+AC_PROG_SPEC = ([0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0, 0],
+                _AC_PROG_VALS)
+
+
+class _ProgACWriter:
+    """Shared EOB-run + correction-bit machinery for progressive AC scans
+    (spec G.1.2.2/3, mirroring libjpeg's jcphuff shape). TWO correction-bit
+    buffers: `be` rides with the pending EOB run (decoder consumes those
+    bits while sweeping the run's blocks, right after the EOBn symbol) and
+    `br` holds the current block's bits since the last symbol (flushed
+    right after that symbol, window-aligned with the decoder's crossing)."""
+
+    def __init__(self, wtr: _BitWriter, codes: Dict[int, Tuple[int, int]]):
+        self.w = wtr
+        self.codes = codes
+        self.eobrun = 0
+        self.be: List[int] = []
+
+    def _sym(self, s: int) -> None:
+        c, l = self.codes[s]
+        self.w.write(c, l)
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self._sym(r << 4)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            for b in self.be:
+                self.w.write(b, 1)
+            self.be = []
+
+    def first_block(self, blk: np.ndarray, ss: int, se: int, al: int) -> None:
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = (abs(v) >> al) * (1 if v >= 0 else -1)
+            if t == 0:
+                run += 1
+                continue
+            self.emit_eobrun()
+            while run > 15:
+                self._sym(0xF0)  # ZRL
+                run -= 16
+            size, code = _mag(t)
+            self._sym((run << 4) | size)
+            self.w.write(code, size)
+            run = 0
+        if run:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+    def refine_block(self, blk: np.ndarray, ss: int, se: int, al: int) -> None:
+        # temp magnitudes at this precision: 0 = still zero, 1 = newly
+        # significant this pass, >1 = already significant (contributes one
+        # correction bit — its bit `al`)
+        vals = [int(blk[k]) for k in range(ss, se + 1)]
+        temps = [abs(v) >> al for v in vals]
+        eobpos = -1  # last newly-significant position; later ZRLs fold into EOB
+        for i, t in enumerate(temps):
+            if t == 1:
+                eobpos = i
+        run = 0
+        br: List[int] = []
+        for i, (v, t) in enumerate(zip(vals, temps)):
+            if t == 0:
+                run += 1
+                continue
+            # ZRLs are emitted at the first nonzero-at-this-precision
+            # position after the long zero run — BEFORE deciding whether
+            # that position is a correction or a new coefficient — so each
+            # ZRL's flushed bits are exactly the corrections inside its
+            # 16-zero crossing window
+            while run > 15 and i <= eobpos:
+                self.emit_eobrun()
+                self._sym(0xF0)
+                run -= 16
+                for b in br:
+                    self.w.write(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            # newly significant coefficient
+            self.emit_eobrun()
+            self._sym((run << 4) | 1)
+            self.w.write(1 if v > 0 else 0, 1)
+            for b in br:
+                self.w.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            self.eobrun += 1
+            self.be.extend(br)
+            if self.eobrun == 0x7FFF or len(self.be) > 930:
+                self.emit_eobrun()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Encode (h, w[, c]) uint8 as PROGRESSIVE JPEG (SOF2), 4:4:4 or
+    grayscale, with a libjpeg-style scan script: interleaved DC first pass
+    at Al=1, per-component spectral AC bands, then successive-approximation
+    refinements down to Al=0. Decoding this stream must produce exactly the
+    pixels of the baseline encoding at the same quality (identical
+    quantized coefficients, different transmission order)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if c not in (1, 3):
+        raise JPEGError(f"cannot encode {c}-channel array")
+    if h == 0 or w == 0:
+        raise JPEGError("zero-dimension image")
+
+    if c == 3:
+        rf, gf, bf = (a[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * rf + 0.587 * gf + 0.114 * bf,
+            128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf,
+            128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf,
+        ]
+        qsel, hsel = [0, 1, 1], [0, 1, 1]
+    else:
+        planes, qsel, hsel = [a[:, :, 0].astype(np.float64)], [0], [0]
+
+    qt = [_scale_quant(QUANT_LUMA, quality), _scale_quant(QUANT_CHROMA, quality)]
+    dc_specs = [DC_LUMA_SPEC, DC_CHROMA_SPEC]
+    dc_codes = [_canonical_codes(*s) for s in dc_specs]
+    ac_prog_codes = _canonical_codes(*AC_PROG_SPEC)
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    comp_qz = [_block_grid(p, bh, bw, qt[qi]) for p, qi in zip(planes, qsel)]
+    nb = bh * bw
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(JPEG_SOI)
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qt[0]))
+    if c == 3:
+        out += seg(0xDB, bytes([0x01]) + bytes(int(x) for x in qt[1]))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([c])
+    for ci in range(c):
+        sof += bytes([ci + 1, 0x11, qsel[ci]])
+    out += seg(0xC2, bytes(sof))  # SOF2: progressive DCT
+    for ti in range(2 if c == 3 else 1):
+        bits, vals = dc_specs[ti]
+        out += seg(0xC4, bytes([ti]) + bytes(bits) + bytes(vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(AC_PROG_SPEC[0])
+               + bytes(AC_PROG_SPEC[1]))
+
+    def sos_header(comp_ids: List[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, (hsel[cid - 1] << 4) | 0x00])  # AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, bytes(body))
+
+    def dc_first(al: int) -> bytes:
+        wtr = _BitWriter()
+        preds = [0] * c
+        for bi in range(nb):
+            for ci in range(c):
+                v = int(comp_qz[ci][bi][0]) >> al  # arithmetic shift (spec DC PT)
+                diff = v - preds[ci]
+                preds[ci] = v
+                size, code = _mag(diff)
+                hc, hl = dc_codes[hsel[ci]][size]
+                wtr.write(hc, hl)
+                if size:
+                    wtr.write(code, size)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def dc_refine(al: int) -> bytes:
+        wtr = _BitWriter()
+        for bi in range(nb):
+            for ci in range(c):
+                wtr.write((int(comp_qz[ci][bi][0]) >> al) & 1, 1)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def ac_scan(ci: int, ss: int, se: int, al: int, refine: bool) -> bytes:
+        wtr = _BitWriter()
+        pw = _ProgACWriter(wtr, ac_prog_codes)
+        for bi in range(nb):
+            if refine:
+                pw.refine_block(comp_qz[ci][bi], ss, se, al)
+            else:
+                pw.first_block(comp_qz[ci][bi], ss, se, al)
+        pw.emit_eobrun()
+        wtr.flush()
+        return bytes(wtr.out)
+
+    all_ids = list(range(1, c + 1))
+    if c == 3:
+        script = [
+            ("dc_first", all_ids, 0, 0, 0, 1),
+            ("ac_first", [1], 1, 5, 0, 2),
+            ("ac_first", [2], 1, 63, 0, 1),
+            ("ac_first", [3], 1, 63, 0, 1),
+            ("ac_first", [1], 6, 63, 0, 2),
+            ("ac_refine", [1], 1, 63, 2, 1),
+            ("dc_refine", all_ids, 0, 0, 1, 0),
+            ("ac_refine", [2], 1, 63, 1, 0),
+            ("ac_refine", [3], 1, 63, 1, 0),
+            ("ac_refine", [1], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc_first", [1], 0, 0, 0, 1),
+            ("ac_first", [1], 1, 63, 0, 1),
+            ("dc_refine", [1], 0, 0, 1, 0),
+            ("ac_refine", [1], 1, 63, 1, 0),
+        ]
+    for kind, ids, ss, se, ah, al in script:
+        out += sos_header(ids, ss, se, ah, al)
+        if kind == "dc_first":
+            out += dc_first(al)
+        elif kind == "dc_refine":
+            out += dc_refine(al)
+        elif kind == "ac_first":
+            out += ac_scan(ids[0] - 1, ss, se, al, refine=False)
+        else:
+            out += ac_scan(ids[0] - 1, ss, se, al, refine=True)
     out += b"\xff\xd9"
     return bytes(out)

@@ -60,7 +60,7 @@ def _pngs() -> list:
 
 
 def _jpegs() -> list:
-    from ..kernels.jpeg import encode_jpeg
+    from ..kernels.jpeg import encode_jpeg, encode_jpeg_progressive
 
     yy, xx = np.indices((21, 34))
     rgb = np.stack(
@@ -73,6 +73,7 @@ def _jpegs() -> list:
         ("j-photo420", encode_jpeg(rgb, quality=85, subsample=(2, 2),
                                    restart_interval=2)),
         ("k-gray", encode_jpeg(gray, quality=90)),
+        ("o-progressive", encode_jpeg_progressive(rgb, quality=88)),
     ]
 
 

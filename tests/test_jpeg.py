@@ -76,6 +76,74 @@ class TestRoundTrip:
         assert sizes[0] < sizes[1] < sizes[2]
 
 
+class TestProgressive:
+    """SOF2: spectral selection + successive approximation + EOB runs.
+
+    The differential contract is exact: a progressive stream carries the
+    SAME quantized coefficients as the baseline stream at the same
+    quality, so both must decode to IDENTICAL pixels — any slip in the
+    bit-plane/EOB-run/correction-bit machinery breaks equality."""
+
+    def test_rgb_equals_baseline(self):
+        from pdf_parser_spark.kernels.jpeg import encode_jpeg_progressive
+
+        rgb = _rgb(37, 50)
+        prog = decode_jpeg(encode_jpeg_progressive(rgb, 90))
+        base = decode_jpeg(encode_jpeg(rgb, 90))
+        assert np.array_equal(prog, base)
+
+    def test_grayscale_equals_baseline(self):
+        from pdf_parser_spark.kernels.jpeg import encode_jpeg_progressive
+
+        g = (np.add.outer(np.arange(24) * 7, np.arange(33) * 3) % 256).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(g, 85)),
+            decode_jpeg(encode_jpeg(g, 85)),
+        )
+
+    @pytest.mark.parametrize("quality", [30, 60, 92, 99])
+    def test_noise_sweep_equals_baseline(self, quality):
+        # random noise exercises every symbol path: ZRLs, EOB runs across
+        # blocks, long correction-bit chains, refinement windows
+        from pdf_parser_spark.kernels.jpeg import encode_jpeg_progressive
+
+        r = np.random.RandomState(11 + quality)
+        for shape in ((29, 43, 3), (8, 8, 3), (1, 9, 3), (16, 16)):
+            img = r.randint(0, 256, shape).astype(np.uint8)
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg_progressive(img, quality)),
+                decode_jpeg(encode_jpeg(img, quality)),
+            ), (quality, shape)
+
+    def test_sparse_blocks_exercise_eob_runs(self):
+        # mostly-flat image with a few hot pixels -> long EOB runs with
+        # interleaved correction bits in the refinement scans
+        from pdf_parser_spark.kernels.jpeg import encode_jpeg_progressive
+
+        img = np.full((48, 64, 3), 128, np.uint8)
+        img[5, 7] = [255, 0, 0]
+        img[40, 60] = [0, 255, 255]
+        img[23, 31] = [0, 0, 255]
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(img, 75)),
+            decode_jpeg(encode_jpeg(img, 75)),
+        )
+
+    def test_progressive_is_progressive(self):
+        from pdf_parser_spark.kernels.jpeg import encode_jpeg_progressive
+
+        enc = encode_jpeg_progressive(_rgb(16, 16), 90)
+        assert b"\xff\xc2" in enc          # SOF2 marker
+        assert enc.count(b"\xff\xda") == 10  # the 10-scan script
+
+    def test_truncated_progressive(self):
+        from pdf_parser_spark.kernels.jpeg import encode_jpeg_progressive
+
+        enc = encode_jpeg_progressive(_rgb(20, 20), 90)
+        with pytest.raises(JPEGError):
+            decode_jpeg(enc[: len(enc) // 3])
+
+
 class TestRefusals:
     def test_not_a_jpeg(self):
         with pytest.raises(JPEGError):
@@ -86,10 +154,10 @@ class TestRefusals:
         with pytest.raises(JPEGError):
             decode_jpeg(enc[: len(enc) // 2])
 
-    def test_progressive_refused(self):
+    def test_arithmetic_refused(self):
         enc = bytearray(encode_jpeg(_rgb(16, 16), 90))
         i = enc.find(b"\xff\xc0")
-        enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        enc[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
         with pytest.raises(JPEGError):
             decode_jpeg(bytes(enc))
 

@@ -158,7 +158,7 @@ class TestImgFixture:
         goldens = pq.read_table(
             p1.replace("media.parquet", "media_goldens.parquet")
         ).to_pydict()
-        assert media["url"] == goldens["url"] and len(media["url"]) == 14
+        assert media["url"] == goldens["url"] and len(media["url"]) == 15
         # every golden row re-derives from the kernel functions; PNG rows
         # must be REAL pixel features (differ from the digest fallback)
         n_real = 0
@@ -174,4 +174,4 @@ class TestImgFixture:
                 str(math.floor(float(f) * 1_000_000)) for f in feats
             )
             assert got == want, url
-        assert n_real == 10  # 5 PNGs + 3 JPEGs + 2 GIFs decode for real
+        assert n_real == 11  # 5 PNGs + 4 JPEGs (incl. progressive) + 2 GIFs decode for real
