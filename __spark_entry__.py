@@ -52,9 +52,12 @@ ensure_corpus(0.01)
 from pdf_parser_spark.sources.av_fixture import ensure_av_fixture  # noqa: E402
 from pdf_parser_spark.sources.img_fixture import ensure_img_fixture  # noqa: E402
 
+from pdf_parser_spark.sources.mp4_fixture import ensure_mp4_fixture  # noqa: E402
+
 AV_01 = ensure_av_fixture(CORPUS_01)
 IMG_01 = ensure_img_fixture(CORPUS_01)
 IMG_GOLDENS_01 = os.path.join(os.path.dirname(IMG_01), "media_goldens.parquet")
+MP4_01 = ensure_mp4_fixture(CORPUS_01)
 
 MAX_SIZE = 50 * 1024 * 1024
 MIN_SIZE = 100
@@ -1089,6 +1092,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("url")
     q["media_thumbnails"] = media_thumbnails
 
+    def media_mp4_metadata(spark, sf_dir):
+        # real video-container parse: ISO-BMFF box walk (ftyp/mvhd/tkhd/
+        # hdlr) — duration/resolution/track metadata a curation pipeline
+        # filters on without decoding samples; corrupt/junk rows classify
+        # without killing the task. Oracle: big-endian hex arithmetic at
+        # the canonical fixture layout's fixed offsets (WAV-fixture pattern)
+        from pdf_parser_spark.sources.mp4_fixture import ensure_mp4_fixture
+
+        path = ensure_mp4_fixture(ensure_corpus(sf_dir))
+        df = spark.read.parquet(path)
+        return M.media_mp4_metadata(df, bin_col="payload").orderBy("url")
+    q["media_mp4_metadata"] = media_mp4_metadata
+
     def stream_extract_lift(spark, sf_dir):
         # REAL Structured Streaming execution inside the correctness gate:
         # the extraction kernel runs as a checkpointed availableNow stream
@@ -1158,6 +1174,7 @@ _VERIFY_FIRST = [
     # new this round
     "dedup_clusters_capped", "media_image_real_features",
     "media_gif_frame_features", "media_thumbnails", "stream_extract_lift",
+    "media_mp4_metadata",
 ]
 
 
@@ -2177,6 +2194,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, out_w, out_h, lower(hex(thumb)) AS thumb_hex
         FROM read_parquet('{os.path.join(os.path.dirname(IMG_01), "thumb_goldens.parquet")}')
         ORDER BY url
+    """
+    # MP4: big-endian reads at the canonical builder's fixed offsets (see
+    # sources/mp4_fixture.py for the documented layout scope): mvhd
+    # timescale at byte 48, duration at 52, first trak tkhd 16.16 width
+    # high-word at 228, hdlr fourcc at 292. trak count = occurrence count
+    # of the 'trak' fourcc (mdat payload chosen to avoid false positives).
+    o["media_mp4_metadata"] = f"""
+        WITH p AS (SELECT url, payload, hex(payload) AS h
+                   FROM read_parquet('{MP4_01}')),
+        m AS (
+          SELECT url, payload, h,
+            CASE WHEN substring(h, 9, 8) = '66747970' THEN
+              CASE WHEN octet_length(payload) =
+                     20 + ('0x' || substring(h, 41, 8))::BIGINT + 12
+                   THEN 'mp4' ELSE 'mp4-corrupt' END
+            ELSE 'unknown' END AS media_kind
+          FROM p
+        )
+        SELECT url, media_kind,
+          CASE WHEN media_kind = 'mp4'
+               THEN decode(unhex(substring(h, 17, 8))) END AS brand,
+          CASE WHEN media_kind = 'mp4'
+               THEN ('0x' || substring(h, 97, 8))::INT END AS timescale,
+          CASE WHEN media_kind = 'mp4'
+               THEN CAST(round(('0x' || substring(h, 105, 8))::BIGINT * 1000.0
+                               / ('0x' || substring(h, 97, 8))::BIGINT) AS BIGINT)
+          END AS duration_ms,
+          CASE WHEN media_kind = 'mp4'
+               THEN CAST((length(h) - length(replace(h, '7472616B', ''))) / 8 AS INT)
+          END AS n_tracks,
+          CASE WHEN media_kind = 'mp4'
+               THEN CASE WHEN substring(h, 585, 8) = '76696465'
+                         THEN ('0x' || substring(h, 457, 4))::INT ELSE 0 END
+          END AS width,
+          CASE WHEN media_kind = 'mp4'
+               THEN CASE WHEN substring(h, 585, 8) = '76696465'
+                         THEN ('0x' || substring(h, 465, 4))::INT ELSE 0 END
+          END AS height,
+          CASE WHEN media_kind = 'mp4'
+               THEN strpos(h, '76696465') > 0 END AS has_video,
+          CASE WHEN media_kind = 'mp4'
+               THEN strpos(h, '736F756E') > 0 END AS has_audio
+        FROM m ORDER BY url
     """
     o["media_metadata"] = f"""
         SELECT url, COALESCE(octet_length(html), 0) AS n_bytes,

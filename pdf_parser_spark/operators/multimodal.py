@@ -17,13 +17,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
-    StructField, StructType,
+    ArrayType, BinaryType, BooleanType, FloatType, IntegerType, LongType,
+    StringType, StructField, StructType,
 )
 
 __all__ = [
     "media_metadata", "media_features", "decode_image", "pixel_features",
     "image_resize", "frame_sample", "parse_riff_wav", "media_av_metadata",
+    "media_mp4_metadata",
 ]
 
 # magic-number sniffing, all JVM-side (hex compare on the first bytes)
@@ -141,6 +142,57 @@ def media_av_metadata(
             yield pd.DataFrame(out)
 
     return df.select(key_col, bin_col).mapInPandas(kernel, AV_SCHEMA)
+
+
+MP4_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("media_kind", StringType()),
+    StructField("brand", StringType()),
+    StructField("timescale", IntegerType()),
+    StructField("duration_ms", LongType()),
+    StructField("n_tracks", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("has_video", BooleanType()),
+    StructField("has_audio", BooleanType()),
+])
+
+
+def media_mp4_metadata(
+    df: DataFrame, bin_col: str = "html", key_col: str = "url"
+) -> DataFrame:
+    """Typed video-container metadata over opaque binary payloads: ISO-BMFF
+    boxes parse for real (kernels/mp4.py — ftyp/mvhd/tkhd/hdlr walk); a
+    curation pipeline filters on these fields (duration caps, resolution
+    gates, has-audio) without ever decoding samples. media_kind: 'mp4' on a
+    clean parse, 'mp4-corrupt' when the ftyp magic is present but the box
+    structure is broken, 'unknown' otherwise — per-row isolation, one bad
+    container never kills a task.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.mp4 import MP4Error, parse_mp4
+
+        for pdf in batches:
+            out: dict = {f.name: [] for f in MP4_SCHEMA.fields}
+            for url, payload in zip(pdf[key_col], pdf[bin_col]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = None
+                kind = "unknown"
+                if payload[4:8] == b"ftyp":
+                    try:
+                        meta = parse_mp4(payload)
+                        kind = "mp4"
+                    except MP4Error:
+                        kind = "mp4-corrupt"
+                out["url"].append(url)
+                out["media_kind"].append(kind)
+                for field in ("brand", "timescale", "duration_ms", "n_tracks",
+                              "width", "height", "has_video", "has_audio"):
+                    out[field].append(meta[field] if meta else None)
+            yield pd.DataFrame(out)
+
+    return df.select(key_col, bin_col).mapInPandas(kernel, MP4_SCHEMA)
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
