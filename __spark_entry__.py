@@ -749,6 +749,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
     q["shape_pack_documents"] = shape_pack_documents
 
+    def shape_pack_bpe_tokens(spark, sf_dir):
+        # end-to-end LLM-budget packing: frozen-BPE token counts (the real
+        # budget unit a trainer packs by) flow into the per-shard
+        # prefix-sum pack via pack_documents(tokens_col=...)
+        from pdf_parser_spark.operators import bpe as B
+        from pdf_parser_spark.operators import chunking as CH
+        from pdf_parser_spark.operators.models import load_frozen_bpe
+
+        counts = B.bpe_token_counts(_docs(spark, sf_dir), load_frozen_bpe())
+        dd = counts.withColumn("shard", F.pmod("doc_id", F.lit(8)).cast("int"))
+        return CH.pack_documents(
+            dd, token_budget=512, shard_col="shard", tokens_col="n_bpe_tokens"
+        ).orderBy("doc_id")
+    q["shape_pack_bpe_tokens"] = shape_pack_bpe_tokens
+
     def shape_deterministic_sample(spark, sf_dir):
         from pdf_parser_spark.operators import chunking as CH
         return (
@@ -1174,7 +1189,7 @@ _VERIFY_FIRST = [
     # new this round
     "dedup_clusters_capped", "media_image_real_features",
     "media_gif_frame_features", "media_thumbnails", "stream_extract_lift",
-    "media_mp4_metadata",
+    "media_mp4_metadata", "shape_pack_bpe_tokens",
 ]
 
 
@@ -1715,7 +1730,7 @@ def oracle_sql() -> dict[str, str]:
     # applicable merge at its first position — exactly bpe._encode_word's
     # greedy loop; UNION dedup terminates at the per-word fixpoint, QUALIFY
     # picks the terminal (shortest) symbol sequence
-    o["text_bpe_token_counts"] = f"""
+    bpe_ctes = f"""
         WITH RECURSIVE
         merges(rank, a, b) AS (VALUES {merge_values}),
         words AS (
@@ -1756,8 +1771,27 @@ def oracle_sql() -> dict[str, str]:
         counts AS (
           SELECT doc_id, sum(f.n) AS n FROM docw JOIN final f USING (w) GROUP BY doc_id
         )
+    """
+    o["text_bpe_token_counts"] = bpe_ctes + """
         SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_bpe_tokens
         FROM documents d LEFT JOIN counts c USING (doc_id) ORDER BY doc_id
+    """
+    # BPE-budget packing: the same frozen-tokenizer counts feed the
+    # per-shard prefix-sum pack — token_budget now means REAL model tokens
+    o["shape_pack_bpe_tokens"] = bpe_ctes + """
+        , dd AS (
+          SELECT d.doc_id, (d.doc_id % 8)::INT AS shard,
+                 CAST(COALESCE(c.n, 0) AS BIGINT) AS n_tokens
+          FROM documents d LEFT JOIN counts c USING (doc_id)
+        ), s AS (
+          SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+          FROM dd
+        )
+        SELECT shard, doc_id, n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS stream_offset,
+               CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+        FROM s ORDER BY doc_id
     """
 
     # winnowing: the selected fingerprint VALUE set equals the distinct

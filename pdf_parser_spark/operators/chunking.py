@@ -64,6 +64,7 @@ def pack_documents(
     token_budget: int = 2048,
     shard_col: Optional[str] = None,
     num_shards: int = 64,
+    tokens_col: Optional[str] = None,
 ) -> DataFrame:
     """Stream-order sequence packing: concatenate documents in key order and
     cut fixed token windows — each document is tagged with the pack window
@@ -78,7 +79,14 @@ def pack_documents(
     (any consistent order works; only determinism matters).
     Returns (id, shard, n_tokens, stream_offset, pack_id).
     """
-    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
+    if tokens_col is not None:
+        # caller supplies the budget unit (e.g. real BPE token counts) —
+        # whitespace counting is only the default proxy
+        toks = F.col(tokens_col).cast("long")
+    else:
+        toks = F.size(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).cast("long")
     if shard_col is None:
         # safe default: a Window.partitionBy() (empty) here would serialize
         # the whole corpus through one task — derive a hash shard instead

@@ -111,3 +111,23 @@ class TestDeterministicSample:
         small = {r.doc_id for r in deterministic_sample(docs, rate=0.1).collect()}
         big = {r.doc_id for r in deterministic_sample(docs, rate=0.5).collect()}
         assert small <= big  # threshold sampling nests by construction
+
+
+class TestPackByTokensCol:
+    def test_external_token_counts_drive_packing(self, spark):
+        from pdf_parser_spark.operators.chunking import pack_documents
+
+        rows = [(i, i % 2, 100 + i) for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id bigint, shard int, n bigint")
+        out = sorted(
+            pack_documents(df, token_budget=150, shard_col="shard",
+                           tokens_col="n").collect(),
+            key=lambda r: (r.shard, r.doc_id),
+        )
+        for shard in (0, 1):
+            expect = 0
+            for r in [x for x in out if x.shard == shard]:
+                assert r.n_tokens == 100 + r.doc_id  # taken from the column
+                assert r.stream_offset == expect
+                assert r.pack_id == expect // 150
+                expect += r.n_tokens
