@@ -89,23 +89,23 @@ def main() -> int:
             fn = qmap[name]
             # first pass carries one-time costs (plan compile, codegen, first
             # shuffle, Python-worker fork) — reported separately as cold;
-            # the headline timing is the BEST of two warm passes: single warm
+            # the headline timing is the BEST of three warm passes: single warm
             # passes on this host scatter up to 2x from neighbor activity
             # (count() forces the full plan without collecting payloads)
             t0 = time.perf_counter()
             rows[name] = fn(spark, sf_dir).count()
             cold[name] = round(time.perf_counter() - t0, 3)
             warm = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 warm.append(time.perf_counter() - t0)
             timings[name] = round(min(warm), 3)
 
-        # flagship throughput: best of two clean, warmed passes (same noise
-        # rationale as the per-query timings)
+        # flagship throughput: best of three clean, warmed passes (same
+        # noise rationale as the per-query timings)
         extract_sec = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             extract_pipeline(pages).select("url", "status").count()
             extract_sec = min(extract_sec, time.perf_counter() - t0)
