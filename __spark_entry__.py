@@ -1120,6 +1120,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return M.media_mp4_metadata(df, bin_col="payload").orderBy("url")
     q["media_mp4_metadata"] = media_mp4_metadata
 
+    def media_audio_features(spark, sf_dir):
+        # real PCM sample decode: every feature is an exact integer (energy
+        # as sum of squares, zero crossings, peak), so the hex-arithmetic
+        # oracle reproduces them bit-for-bit over the canonical fixture
+        from pdf_parser_spark.sources.av_fixture import ensure_av_fixture
+
+        path = ensure_av_fixture(ensure_corpus(sf_dir))
+        df = spark.read.parquet(path)
+        return M.audio_features(df, bin_col="payload").orderBy("url")
+    q["media_audio_features"] = media_audio_features
+
     def stream_extract_lift(spark, sf_dir):
         # REAL Structured Streaming execution inside the correctness gate:
         # the extraction kernel runs as a checkpointed availableNow stream
@@ -1189,7 +1200,7 @@ _VERIFY_FIRST = [
     # new this round
     "dedup_clusters_capped", "media_image_real_features",
     "media_gif_frame_features", "media_thumbnails", "stream_extract_lift",
-    "media_mp4_metadata", "shape_pack_bpe_tokens",
+    "media_mp4_metadata", "shape_pack_bpe_tokens", "media_audio_features",
 ]
 
 
@@ -2208,6 +2219,51 @@ def oracle_sql() -> dict[str, str]:
                THEN CAST(round({le32(40)} * 1000.0 / {le32(28)}) AS BIGINT)
           END AS duration_ms
         FROM m ORDER BY url
+    """
+
+    # sample-level audio decode: PCM samples re-derived from hex (16-bit LE
+    # signed / 8-bit offset) at the canonical 44-byte-header layout; all
+    # features are exact integers so the compare is bit-for-bit
+    o["media_audio_features"] = f"""
+        WITH p AS (SELECT url, hex(payload) AS h FROM read_parquet('{AV_01}')),
+        m AS (
+          SELECT url, h,
+            CASE WHEN substring(h, 1, 8) = '52494646'
+                  AND substring(h, 17, 8) = '57415645'
+                  AND substring(h, 25, 8) = '666D7420' THEN 'wav'
+                 WHEN substring(h, 1, 8) = '52494646' THEN 'riff'
+                 ELSE 'unknown' END AS media_kind
+          FROM p
+        ),
+        s AS (
+          SELECT url, media_kind,
+            CASE WHEN media_kind = 'wav' AND {le16(34)} = 16 THEN
+              list_transform(
+                list_transform(range(0, CAST({le32(40)} AS BIGINT) // 2),
+                  i -> ('0x' || substring(h, 89 + 4 * i, 2))::BIGINT
+                       + 256 * ('0x' || substring(h, 91 + 4 * i, 2))::BIGINT),
+                v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)
+            WHEN media_kind = 'wav' THEN
+              list_transform(range(0, CAST({le32(40)} AS BIGINT)),
+                i -> ('0x' || substring(h, 89 + 2 * i, 2))::BIGINT - 128)
+            END AS sm
+          FROM m
+        )
+        SELECT url, media_kind,
+          CASE WHEN media_kind = 'wav'
+               THEN CAST(len(sm) AS BIGINT) END AS n_samples,
+          CASE WHEN media_kind = 'wav'
+               THEN CAST(list_sum(list_transform(sm, v -> v * v)) AS BIGINT)
+          END AS sum_squares,
+          CASE WHEN media_kind = 'wav'
+               THEN CAST(COALESCE(list_sum(list_transform(range(1, len(sm)),
+                      i -> CASE WHEN sm[i] * sm[i + 1] < 0 THEN 1 ELSE 0 END)), 0)
+                    AS BIGINT)
+          END AS zero_crossings,
+          CASE WHEN media_kind = 'wav'
+               THEN CAST(list_max(list_transform(sm, v -> abs(v))) AS INT)
+          END AS peak_abs
+        FROM s ORDER BY url
     """
     o["media_image_real_features"] = f"""
         SELECT url, n_bytes, feature_dim, features_i

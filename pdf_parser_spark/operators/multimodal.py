@@ -1,10 +1,14 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads, typed metadata, real decode.
 
-Images/audio/video are carried as opaque BINARY columns. The Spark-side
-plumbing — schema, batching, partitioning, UDF signatures — is real and
-tested; the actual codec decode is stubbed (the decode libraries are not in
-this container) behind a clearly-marked NotImplementedError with a
-deterministic fake featurizer used by tests and benchmarks.
+Images/audio/video are carried as opaque BINARY columns. Decode is REAL
+for the dominant web formats via from-scratch kernels built from the
+public specs: PNG, JPEG (baseline + progressive), GIF (incl. animation
+frames), WAV PCM samples, and MP4/ISO-BMFF container metadata. Only video
+SAMPLE decode still needs codec libraries absent from this container and
+falls back to a clearly-marked deterministic digest featurizer — the
+schema/batching/partitioning plumbing is identical either way, and every
+real path is per-row error-isolated (a corrupt payload yields the
+fallback row, never a task failure).
 """
 
 from __future__ import annotations
@@ -24,7 +28,7 @@ from pyspark.sql.types import (
 __all__ = [
     "media_metadata", "media_features", "decode_image", "pixel_features",
     "image_resize", "frame_sample", "parse_riff_wav", "media_av_metadata",
-    "media_mp4_metadata",
+    "media_mp4_metadata", "decode_wav_samples", "audio_features",
 ]
 
 # magic-number sniffing, all JVM-side (hex compare on the first bytes)
@@ -97,6 +101,95 @@ def parse_riff_wav(payload: bytes) -> dict:
         "data_bytes": data_len,
         "duration_ms": duration_ms,
     }
+
+
+def decode_wav_samples(payload: bytes) -> "np.ndarray":
+    """Decode WAV PCM samples to an int32 array (channel-interleaved).
+
+    Real sample decode, not just container metadata: 16-bit little-endian
+    signed and 8-bit unsigned-offset PCM per the public WAVE spec. Raises
+    ValueError for non-PCM widths or malformed containers.
+    """
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    bits = None
+    data = None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            bits = struct.unpack("<HHIIHH", body[:16])[5]
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if bits is None or data is None:
+        raise ValueError("WAVE without fmt/data chunks")
+    if bits == 16:
+        return np.frombuffer(
+            data[: len(data) - (len(data) & 1)], dtype="<i2"
+        ).astype(np.int32)
+    if bits == 8:
+        return np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    raise ValueError(f"unsupported PCM width {bits}")
+
+
+AUDIO_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("media_kind", StringType()),
+    StructField("n_samples", LongType()),
+    StructField("sum_squares", LongType()),
+    StructField("zero_crossings", LongType()),
+    StructField("peak_abs", IntegerType()),
+])
+
+
+def audio_features(
+    df: DataFrame, bin_col: str = "html", key_col: str = "url"
+) -> DataFrame:
+    """Sample-level audio features over opaque binary payloads: WAV PCM
+    decodes for real (decode_wav_samples) into integer-exact statistics —
+    sum of squares (energy), zero crossings (crude pitch/noisiness), peak
+    amplitude — the signals an audio-curation pipeline gates on (silence,
+    clipping). Every feature is an exact integer, so the DuckDB oracle
+    reproduces them bit-for-bit from hex arithmetic. Non-WAV rows keep
+    their sniffed kind with NULL features; per-row error isolation.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict = {f.name: [] for f in AUDIO_SCHEMA.fields}
+            for url, payload in zip(pdf[key_col], pdf[bin_col]):
+                payload = bytes(payload) if payload is not None else b""
+                kind = "unknown"
+                feats = None
+                if payload[:4] == b"RIFF":
+                    kind = "riff"
+                    try:
+                        s = decode_wav_samples(payload).astype(np.int64)
+                        kind = "wav"
+                        feats = (
+                            len(s),
+                            int((s * s).sum()),
+                            int(((s[:-1] * s[1:]) < 0).sum()),
+                            int(np.abs(s).max(initial=0)),
+                        )
+                    except ValueError:
+                        feats = None
+                out["url"].append(url)
+                out["media_kind"].append(kind)
+                for field, v in zip(
+                    ("n_samples", "sum_squares", "zero_crossings", "peak_abs"),
+                    feats if feats else (None,) * 4,
+                ):
+                    out[field].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(key_col, bin_col).mapInPandas(kernel, AUDIO_SCHEMA)
 
 
 AV_SCHEMA = StructType([

@@ -459,3 +459,55 @@ class TestRiffWav:
         assert got["riff-but-not-wav"].channels is None
         assert got["junk"].media_kind == "unknown"
         assert got["empty"].media_kind == "unknown"
+
+
+class TestAudioSamples:
+    def _wav(self, samples, rate=8000, width=2, channels=1):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 2:
+            import struct
+
+            w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        else:
+            w.writeframes(bytes((s + 128) % 256 for s in samples))
+        w.close()
+        return buf.getvalue()
+
+    def test_decode_matches_written_samples(self):
+        from pdf_parser_spark.operators.multimodal import decode_wav_samples
+
+        samples = [0, 1000, -1000, 32767, -32768, 5]
+        out = decode_wav_samples(self._wav(samples))
+        assert out.tolist() == samples
+        # 8-bit offset PCM
+        out8 = decode_wav_samples(self._wav([0, 10, -10, 127, -128], width=1))
+        assert out8.tolist() == [0, 10, -10, 127, -128]
+
+    def test_audio_features_exact_integers(self, spark):
+        from pdf_parser_spark.operators.multimodal import audio_features
+
+        samples = [100, -200, 300, -400, 0, 500]
+        wav = self._wav(samples)
+        df = spark.createDataFrame(
+            [("w", bytearray(wav)), ("r", b"RIFF\x04\x00\x00\x00AVI "),
+             ("j", b"junk")],
+            "url string, html binary",
+        )
+        rows = {r.url: r for r in audio_features(df).collect()}
+        w = rows["w"]
+        assert w.media_kind == "wav"
+        assert w.n_samples == 6
+        assert w.sum_squares == sum(s * s for s in samples)
+        # sign changes: 100/-200, -200/300, 300/-400 -> 3 strict crossings
+        # (pairs involving 0 are not strict sign flips)
+        assert w.zero_crossings == 3
+        assert w.peak_abs == 500
+        assert rows["r"].media_kind == "riff" and rows["r"].n_samples is None
+        assert rows["j"].media_kind == "unknown"
