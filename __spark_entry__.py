@@ -566,6 +566,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("id_a", "id_b")
     q["ann_bucketed_near_dup"] = ann_bucketed_near_dup
 
+    def ann_dup_clusters(spark, sf_dir):
+        # embedding-level near-dup CLUSTERING: the bucketed pair graph
+        # (coordinate-sign LSH equi-join, SQL-reproducible) feeds the same
+        # min-label connected components the text path uses — keep-rule is
+        # component == vec_id, mirroring dedup_clusters
+        emb = _emb(spark, sf_dir)
+        pairs = S.bucketed_near_dup_pairs(emb, threshold=0.2, n_planes=4)
+        return D.connected_components(
+            emb.select("vec_id"), pairs.select("id_a", "id_b"),
+            id_col="vec_id",
+        ).orderBy("vec_id")
+    q["ann_dup_clusters"] = ann_dup_clusters
+
     def ann_knn_join(spark, sf_dir):
         # batch KNN: top-k for EVERY row via the IVF index; exhaustive probes
         # here (oracle-exact), n_probe << n_lists in production
@@ -639,6 +652,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *[F.coalesce(F.col(k), F.lit(0).cast("long")).alias(k) for k in kinds],
         ).orderBy("cohort")
     q["olap_event_pivot"] = olap_event_pivot
+
+    def olap_event_moving_avg(spark, sf_dir):
+        # RANGE-frame window (trailing 24h per event type): the one window
+        # family not yet covered (ROWS frames, sessions, pivots are). Exact
+        # integer math end-to-end — per-row cents, BIGINT sum, integer
+        # division to millicents — so no float-summation-order divergence
+        from pyspark.sql import Window
+
+        e = _events(spark, sf_dir)
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+            .rangeBetween(-86399 * 1_000_000, 0)
+        )
+        cents = F.round(F.col("value") * 100).cast("long")
+        return (
+            e.withColumn("_c", cents)
+            .withColumn("_s", F.sum("_c").over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(w))
+            .select(
+                "event_id", "event_type",
+                F.expr("(_s * 1000) div _n").alias("avg_millicents_24h"),
+                F.col("_n").alias("n_window"),
+            )
+            .orderBy("event_id")
+        )
+    q["olap_event_moving_avg"] = olap_event_moving_avg
 
     def olap_priority_rollup(spark, sf_dir):
         o_ = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
@@ -1201,6 +1241,7 @@ _VERIFY_FIRST = [
     "dedup_clusters_capped", "media_image_real_features",
     "media_gif_frame_features", "media_thumbnails", "stream_extract_lift",
     "media_mp4_metadata", "shape_pack_bpe_tokens", "media_audio_features",
+    "ann_dup_clusters", "olap_event_moving_avg",
 ]
 
 
@@ -1614,6 +1655,27 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) >= 0.2
         ORDER BY id_a, id_b
     """
+    # transitive closure over the same bucketed pair graph (id-space is
+    # small at oracle scale; Spark uses min-label propagation rounds)
+    o["ann_dup_clusters"] = f"""
+        WITH RECURSIVE b AS (
+          SELECT vec_id, embedding, ({bucket_sql}) AS bk FROM embeddings
+        ), pairs AS (
+          SELECT l.vec_id AS id_a, r.vec_id AS id_b
+          FROM b l JOIN b r ON l.bk = r.bk AND l.vec_id < r.vec_id
+          WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) >= 0.2
+        ), e AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(s, d) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+        )
+        SELECT s AS vec_id, min(d) AS component FROM reach
+        GROUP BY s ORDER BY vec_id
+    """
+
     o["ann_knn_join"] = """
         SELECT a.vec_id AS qid, b.vec_id AS nid,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
@@ -1845,6 +1907,26 @@ def oracle_sql() -> dict[str, str]:
                count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
                count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         FROM events GROUP BY 1 ORDER BY cohort
+    """
+    o["olap_event_moving_avg"] = """
+        WITH c AS (
+          SELECT event_id, event_type, ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), w AS (
+          SELECT event_id, event_type,
+                 CAST(sum(cents) OVER win AS BIGINT) AS s,
+                 CAST(count(*) OVER win AS BIGINT) AS n
+          FROM c
+          WINDOW win AS (
+            PARTITION BY event_type ORDER BY ts
+            RANGE BETWEEN INTERVAL 86399 SECONDS PRECEDING AND CURRENT ROW
+          )
+        )
+        SELECT event_id, event_type,
+               CAST((s * 1000) // n AS BIGINT) AS avg_millicents_24h,
+               n AS n_window
+        FROM w ORDER BY event_id
     """
     o["olap_priority_rollup"] = """
         SELECT o_orderpriority, o_orderstatus, count(*) AS n,
