@@ -689,6 +689,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["olap_priority_rollup"] = olap_priority_rollup
 
+    def olap_event_cube(spark, sf_dir):
+        # CUBE: all four grouping-set combinations in one pass (rollup
+        # covers the prefix sets; cube completes the grouping-set family)
+        e = _events(spark, sf_dir).withColumn(
+            "cohort", F.pmod("user_id", F.lit(4))
+        )
+        return (
+            e.cube("event_type", "cohort")
+            .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+            .orderBy("gid", "event_type", "cohort")
+        )
+    q["olap_event_cube"] = olap_event_cube
+
+    def olap_user_activity_fullouter(spark, sf_dir):
+        # FULL OUTER join (the remaining join family): users that only
+        # ordered, only clicked, or did both — coalesced to zero counts
+        o_ = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        n_orders = o_.groupBy(F.col("o_custkey").alias("user_id")).agg(
+            F.count(F.lit(1)).alias("n_orders")
+        )
+        n_events = _events(spark, sf_dir).groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        return (
+            n_orders.join(n_events, "user_id", "full_outer")
+            .select(
+                "user_id",
+                F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
+                F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+            )
+            .orderBy("user_id")
+        )
+    q["olap_user_activity_fullouter"] = olap_user_activity_fullouter
+
     def set_ops_feed_vs_ok(spark, sf_dir):
         # §2.7: INTERSECT/EXCEPT — feed urls that did / did not extract ok
         p = _pages(spark, sf_dir)
@@ -1241,7 +1275,8 @@ _VERIFY_FIRST = [
     "dedup_clusters_capped", "media_image_real_features",
     "media_gif_frame_features", "media_thumbnails", "stream_extract_lift",
     "media_mp4_metadata", "shape_pack_bpe_tokens", "media_audio_features",
-    "ann_dup_clusters", "olap_event_moving_avg",
+    "ann_dup_clusters", "olap_event_moving_avg", "olap_event_cube",
+    "olap_user_activity_fullouter",
 ]
 
 
@@ -1933,6 +1968,24 @@ def oracle_sql() -> dict[str, str]:
                grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS gid
         FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         ORDER BY gid, o_orderpriority, o_orderstatus
+    """
+    o["olap_event_cube"] = """
+        SELECT event_type, user_id % 4 AS cohort, count(*) AS n,
+               grouping(event_type) * 2 + grouping(user_id % 4) AS gid
+        FROM events GROUP BY CUBE(event_type, user_id % 4)
+        ORDER BY gid, event_type, cohort
+    """
+    o["olap_user_activity_fullouter"] = """
+        WITH o AS (
+          SELECT o_custkey AS user_id, count(*) AS n_orders
+          FROM orders GROUP BY 1
+        ), e AS (
+          SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+        )
+        SELECT user_id, COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(n_events, 0) AS n_events
+        FROM o FULL OUTER JOIN e USING (user_id)
+        ORDER BY user_id
     """
     o["set_ops_feed_vs_ok"] = f"""
         WITH feed AS (SELECT url FROM {pages} WHERE url LIKE '%/feed/%'),

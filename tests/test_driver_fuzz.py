@@ -44,10 +44,11 @@ EMB_QUERIES = [
 EVENT_QUERIES = [
     "p11_json_sniff", "p11b_typed_json_parse", "temporal_sessionize",
     "temporal_session_window_native", "olap_value_quantiles",
-    "olap_event_pivot", "olap_event_moving_avg",
+    "olap_event_pivot", "olap_event_moving_avg", "olap_event_cube",
 ]
 RELATIONAL_QUERIES = [
     "temporal_asof_join", "temporal_interval_join", "olap_pricing_summary",
+    "olap_user_activity_fullouter",
     "olap_regional_revenue", "olap_order_priority", "olap_priority_rollup",
 ]
 
