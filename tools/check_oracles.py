@@ -89,7 +89,16 @@ def main(only: str | None = None) -> int:
             failures += 1
             continue
         a, b = canon(sdf), canon(ddf)
-        if frames_equal(a, b):
+        kinds = lambda df_: {
+            c: ("i" if df_[c].dtype.kind == "u" else df_[c].dtype.kind)
+            for c in df_.columns
+        }
+        if kinds(a) != kinds(b):
+            # dtype-kind mismatch = the driver hash artifact class (HUGEINT
+            # -> float64 vs int64), even when values compare equal here
+            failures += 1
+            print(f"FAIL {name}: dtype kinds {kinds(a)} vs {kinds(b)}")
+        elif frames_equal(a, b):
             print(f"OK   {name}: {len(a)} rows")
         else:
             failures += 1
