@@ -2466,6 +2466,11 @@ def oracle_sql() -> dict[str, str]:
     o["media_metadata"] = f"""
         SELECT url, COALESCE(octet_length(html), 0) AS n_bytes,
           CASE
+            -- mp4 outranks every 4-byte prefix (mirrors the Spark side,
+            -- where the ftyp refinement is applied last = highest priority)
+            WHEN substring(upper(hex(html)), 9, 8) = '66747970' THEN 'mp4'
+            WHEN left(upper(hex(html)), 8) = '52494646'
+             AND substring(upper(hex(html)), 17, 8) = '57454250' THEN 'webp'
             WHEN left(upper(hex(html)), 8) = '25504446' THEN 'pdf'
             WHEN left(upper(hex(html)), 8) = '89504E47' THEN 'png'
             WHEN left(upper(hex(html)), 6) = 'FFD8FF' THEN 'jpeg'

@@ -56,6 +56,17 @@ def media_metadata(df: DataFrame, bin_col: str = "html", key_col: str = "url") -
         kind = F.when(
             F.substring(head, 1, len(magic)) == F.lit(magic), F.lit(name)
         ).otherwise(kind)
+    # container refinements need bytes past the first four: WEBP fourcc at
+    # offset 8 inside a RIFF, ISO-BMFF 'ftyp' at offset 4 — still pure JVM
+    kind = F.when(
+        (F.substring(head, 1, 8) == "52494646")
+        & (F.upper(F.hex(F.substring(F.col(bin_col), 9, 4))) == "57454250"),
+        F.lit("webp"),
+    ).otherwise(kind)
+    kind = F.when(
+        F.upper(F.hex(F.substring(F.col(bin_col), 5, 4))) == "66747970",
+        F.lit("mp4"),
+    ).otherwise(kind)
     return df.select(
         F.col(key_col),
         F.coalesce(F.length(F.col(bin_col)), F.lit(0)).alias("n_bytes"),
