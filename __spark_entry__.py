@@ -52,12 +52,17 @@ ensure_corpus(0.01)
 from pdf_parser_spark.sources.av_fixture import ensure_av_fixture  # noqa: E402
 from pdf_parser_spark.sources.img_fixture import ensure_img_fixture  # noqa: E402
 
-from pdf_parser_spark.sources.mp4_fixture import ensure_mp4_fixture  # noqa: E402
+from pdf_parser_spark.sources.mp4_fixture import (  # noqa: E402
+    ensure_mp4_fixture, ensure_video_fixture,
+)
 
 AV_01 = ensure_av_fixture(CORPUS_01)
 IMG_01 = ensure_img_fixture(CORPUS_01)
 IMG_GOLDENS_01 = os.path.join(os.path.dirname(IMG_01), "media_goldens.parquet")
 MP4_01 = ensure_mp4_fixture(CORPUS_01)
+VIDEO_01 = ensure_video_fixture(CORPUS_01)
+VIDEO_GOLDENS_01 = os.path.join(os.path.dirname(VIDEO_01),
+                                "video_frame_goldens.parquet")
 
 MAX_SIZE = 50 * 1024 * 1024
 MIN_SIZE = 100
@@ -1194,6 +1199,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return M.media_mp4_metadata(df, bin_col="payload").orderBy("url")
     q["media_mp4_metadata"] = media_mp4_metadata
 
+    def media_video_frame_features(spark, sf_dir):
+        # REAL video frame decode (retires the last digest stub): MJPEG MP4
+        # payloads walk the stsd/stsz/stsc/stco sample tables (kernels/
+        # mp4.py), each coded sample decodes as JPEG (kernels/jpeg.py), and
+        # n_frames are sampled evenly from actual pixels. Inter-frame
+        # codecs (the avc1 row), truncated mdat, and junk fall back to the
+        # byte-window digest featurizer — the documented error-isolation
+        # contract, proven inside the gate. Same floor(f*1e6) projection +
+        # baked-goldens oracle as the GIF frame query.
+        from pdf_parser_spark.sources.mp4_fixture import (
+            VIDEO_FRAME_DIM, VIDEO_FRAME_N, ensure_video_fixture,
+        )
+
+        path = ensure_video_fixture(ensure_corpus(sf_dir))
+        df = spark.read.parquet(path)
+        out = M.frame_sample(
+            df, bin_col="payload", n_frames=VIDEO_FRAME_N,
+            dim=VIDEO_FRAME_DIM, real_decode=True,
+        )
+        return out.select(
+            "url", "frame_idx",
+            F.array_join(
+                F.transform(
+                    F.col("frame_features"),
+                    lambda x: F.floor(x.cast("double") * 1000000).cast("string"),
+                ),
+                ",",
+            ).alias("features_i"),
+        ).orderBy("url", "frame_idx")
+    q["media_video_frame_features"] = media_video_frame_features
+
     def media_audio_features(spark, sf_dir):
         # real PCM sample decode: every feature is an exact integer (energy
         # as sum of squares, zero crossings, peak), so the hex-arithmetic
@@ -1258,25 +1294,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (tools/check_oracles.py), so rotation only changes which subset the driver
 # re-proves each round: least-recently-verified first.
 _VERIFY_FIRST = [
-    # never driver-checked through round 2 (registered after the 50-row cut)
-    "set_ops_feed_vs_ok", "udaf_geomean_chars", "udf_groupmap_zscore",
-    "pipeline_extract_dedup_chunk", "shape_chunk_documents",
-    "shape_pack_documents", "shape_deterministic_sample",
-    "olap_pricing_summary", "olap_regional_revenue", "olap_value_quantiles",
-    "olap_order_priority", "temporal_asof_join", "temporal_interval_join",
-    "temporal_sessionize", "temporal_session_window_native",
-    "clean_canonical_url", "clean_scrub_pii", "clean_repetition_flags",
-    "clean_stopword_stats", "clean_line_dedup", "clean_domain_stats",
-    "media_metadata", "media_features", "media_frame_sample",
-    "sql_udf_extract_text", "sql_udtf_field_rows", "media_wav_metadata",
-    # red in r1+r2 (oracle dtype artifact, fixed this round) — re-prove
-    "text_bpe_token_counts", "olap_event_pivot",
-    # new this round
-    "dedup_clusters_capped", "media_image_real_features",
-    "media_gif_frame_features", "media_thumbnails", "stream_extract_lift",
-    "media_mp4_metadata", "shape_pack_bpe_tokens", "media_audio_features",
-    "ann_dup_clusters", "olap_event_moving_avg", "olap_event_cube",
-    "olap_user_activity_fullouter",
+    # round-4 window: the 39 queries last driver-verified in r2, led by the
+    # two whose plans changed after their last driver row (VERDICT r3 §2)
+    "dedup_minhash_lsh_pairs_capped", "ann_knn_join_gemm",
+    # GIF-codec-adjacent media queries — the r4 LZW end-code fix re-baked
+    # their goldens, so they need fresh driver rows even though r3-green
+    "media_gif_frame_features", "media_thumbnails",
+    "media_frame_sample", "media_metadata", "media_features",
+    # remaining r2-verified backlog
+    "p4_regex_fields", "p5_multi_pattern_fallback", "p9_prompt_truncation",
+    "p10_discovery_truncation", "p11_json_sniff", "p11b_typed_json_parse",
+    "p12_display_name_join", "w1_topk_limit", "w2_label_band_filter",
+    "s2_warc_source", "s2_warc_datasource", "f6_unknown_field_skip",
+    "p7_pattern_precompile", "s6_ddl_on_first_use", "a3_idempotent_resume",
+    "s5_json_export", "dedup_exact", "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_pruned", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_clusters", "ann_bruteforce_topk", "ann_embedding_near_dup",
+    "ann_lsh_bucketed_topk", "ann_ivf_topk", "ann_bucketed_near_dup",
+    "ann_knn_join", "text_token_count", "text_quality_score",
+    "text_lang_id", "text_fingerprint", "text_lm_quality",
+    "text_winnow_fingerprint", "olap_priority_rollup",
+    # new in round 4 (appended as implemented; window holds 50)
+    "media_video_frame_features",
 ]
 
 
@@ -2403,6 +2443,11 @@ def oracle_sql() -> dict[str, str]:
     o["media_image_real_features"] = f"""
         SELECT url, n_bytes, feature_dim, features_i
         FROM read_parquet('{IMG_GOLDENS_01}') ORDER BY url
+    """
+    o["media_video_frame_features"] = f"""
+        SELECT url, frame_idx, features_i
+        FROM read_parquet('{VIDEO_GOLDENS_01}')
+        ORDER BY url, frame_idx
     """
     o["media_gif_frame_features"] = f"""
         SELECT url, frame_idx, features_i

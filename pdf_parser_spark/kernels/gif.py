@@ -74,8 +74,12 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):
+            # deferred clear: once the table is full (4096 = 1<<12) real
+            # encoders stop adding entries and keep emitting existing codes
+            # until (if ever) they send a clear — mirror that exactly.
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
             entry = prev + prev[:1]
             table.append(entry)
         else:
@@ -84,8 +88,12 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray:
         prev = entry
         if len(table) == (1 << width) and width < 12:
             width += 1
-        if len(out) > expected:
-            raise GIFError("LZW produced more pixels than the frame holds")
+        if len(out) >= expected:
+            # frame is full — stop here. Real-world encoders frequently
+            # omit the explicit end-of-information code (e.g. the
+            # ubiquitous 43-byte 1x1 tracking pixel pads the final byte
+            # instead); browsers and giflib stop at frame-full, so do we.
+            break
     return out
 
 
@@ -129,6 +137,16 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         w = bytes([b])
     if w:
         emit(table[w])
+        # The decoder adds one table entry after reading this final data
+        # code and then applies its width-growth check; if that entry lands
+        # exactly on a power-of-two boundary the decoder reads the END code
+        # at the widened width. Mirror it (the add is virtual — no further
+        # data codes reference it) so END is written at the width it is
+        # read. Without this, streams whose last data code sits on a
+        # boundary fail with "truncated before end code".
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
     emit(end)
     if nbits:
         out.append(acc & 0xFF)

@@ -3,12 +3,14 @@
 Images/audio/video are carried as opaque BINARY columns. Decode is REAL
 for the dominant web formats via from-scratch kernels built from the
 public specs: PNG, JPEG (baseline + progressive), GIF (incl. animation
-frames), WAV PCM samples, and MP4/ISO-BMFF container metadata. Only video
-SAMPLE decode still needs codec libraries absent from this container and
-falls back to a clearly-marked deterministic digest featurizer — the
-schema/batching/partitioning plumbing is identical either way, and every
-real path is per-row error-isolated (a corrupt payload yields the
-fallback row, never a task failure).
+frames), WAV PCM samples, MP4/ISO-BMFF container metadata, and MJPEG
+video frames (stsz/stsc/stco sample walk -> per-sample JPEG decode).
+Inter-frame-predicted codecs (H.264/VP9/AV1) genuinely need codec
+libraries absent from this container; those payloads fall back to a
+clearly-marked deterministic digest featurizer — the schema/batching/
+partitioning plumbing is identical either way, and every real path is
+per-row error-isolated (a corrupt payload yields the fallback row, never
+a task failure).
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ __all__ = [
     "media_metadata", "media_features", "decode_image", "pixel_features",
     "image_resize", "frame_sample", "parse_riff_wav", "media_av_metadata",
     "media_mp4_metadata", "decode_wav_samples", "audio_features",
+    "decode_video_frames",
 ]
 
 # magic-number sniffing, all JVM-side (hex compare on the first bytes)
@@ -302,14 +305,14 @@ def media_mp4_metadata(
 def decode_image(payload: bytes) -> "np.ndarray":
     """Codec decode to a (h, w, c) uint8 pixel array.
 
-    PNG and baseline JPEG decode for real via the from-scratch pure-Python
-    codecs (kernels/png.py — zlib inflate + scanline unfilter; kernels/
-    jpeg.py — Huffman + dequant + IDCT + chroma upsampling, both from the
-    public specs). Remaining formats (GIF/video/progressive JPEG) need
-    codec libraries not present in this container and raise
-    NotImplementedError; production swaps in a Pillow/ffmpeg-backed decode
-    without touching any Spark plan. The deterministic digest featurizer
-    below keeps the plumbing testable for the unsupported formats.
+    PNG, JPEG (baseline + progressive) and GIF (first frame) decode for
+    real via the from-scratch pure-Python codecs (kernels/png.py — zlib
+    inflate + scanline unfilter; kernels/jpeg.py — Huffman + dequant +
+    IDCT + chroma upsampling; kernels/gif.py — LZW + compositing, all from
+    the public specs). Other formats raise NotImplementedError; production
+    swaps in a Pillow-backed decode without touching any Spark plan. The
+    deterministic digest featurizer below keeps the plumbing testable for
+    the unsupported formats.
     """
     from ..kernels.gif import GIF_MAGICS, decode_gif_first_frame
     from ..kernels.jpeg import JPEG_SOI, decode_jpeg
@@ -323,8 +326,35 @@ def decode_image(payload: bytes) -> "np.ndarray":
     if payload[:6] in GIF_MAGICS:
         return decode_gif_first_frame(payload)
     raise NotImplementedError(
-        "video/progressive-JPEG decode requires codec libraries not present in this container"
+        "unsupported image codec (PNG/JPEG/GIF decode here; WebP and "
+        "exotic formats need libraries not present in this container)"
     )
+
+
+_MJPEG_FOURCCS = {"jpeg", "mjpa", "mjpb", "mjpg"}
+
+
+def decode_video_frames(payload: bytes) -> list:
+    """Decode an MP4 video track's samples to (h, w, c) uint8 pixel arrays.
+
+    Real end-to-end decode for MJPEG tracks: kernels/mp4.py walks the
+    stsd/stsz/stsc/stco sample tables and slices the coded samples out of
+    mdat; each sample of a 'jpeg'-family sample entry is a complete JFIF
+    stream that kernels/jpeg.py decodes. Inter-frame codecs (avc1/hvc1/
+    vp09/av01) raise NotImplementedError — they need codec libraries not
+    present in this container; production swaps in an ffmpeg-backed decode
+    at the same call site without touching any Spark plan.
+    """
+    from ..kernels.jpeg import decode_jpeg
+    from ..kernels.mp4 import extract_video_samples
+
+    fmt, samples = extract_video_samples(payload or b"")
+    if fmt.lower().strip() not in _MJPEG_FOURCCS:
+        raise NotImplementedError(
+            f"video sample entry {fmt!r} needs codec libraries not present "
+            "in this container (only MJPEG decodes here)"
+        )
+    return [decode_jpeg(s) for s in samples]
 
 
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
@@ -490,21 +520,29 @@ def frame_feature_rows(
 ) -> list:
     """Per-payload frame features: the single source of truth shared by the
     frame_sample kernel and the fixture golden generator (no drift). With
-    real_decode, animated/static GIFs decode for real and frames are
-    sampled evenly; anything else (or corrupt GIFs) falls back to digest
-    features over evenly spaced byte windows."""
+    real_decode, animated/static GIFs and MJPEG MP4 video tracks decode
+    for real and frames are sampled evenly; anything else (corrupt
+    containers, inter-frame codecs) falls back to digest features over
+    evenly spaced byte windows."""
     from ..kernels.gif import GIF_MAGICS, decode_gif
 
+    frames = None
     if real_decode and payload[:6] in GIF_MAGICS:
         try:
             frames = decode_gif(payload)
-            return [
-                [float(x) for x in pixel_features(
-                    frames[(i * len(frames)) // n_frames], dim)]
-                for i in range(n_frames)
-            ]
         except Exception:
-            pass  # corrupt container -> digest fallback
+            frames = None  # corrupt container -> digest fallback
+    elif real_decode and payload[4:8] == b"ftyp":
+        try:
+            frames = decode_video_frames(payload)
+        except Exception:
+            frames = None  # non-MJPEG codec / corrupt mdat -> fallback
+    if frames:
+        return [
+            [float(x) for x in pixel_features(
+                frames[(i * len(frames)) // n_frames], dim)]
+            for i in range(n_frames)
+        ]
     out = []
     for i in range(n_frames):
         start = int((i / n_frames) * max(len(payload) - 64, 0))
@@ -535,13 +573,15 @@ def frame_sample(
     input rows).
 
     With real_decode, animated-GIF payloads decode for real (kernels/
-    gif.py): n_frames are sampled evenly across the composited animation
-    (frame floor(i * total / n_frames)) and featurized from actual pixels.
-    Other containers — and any corrupt payload — fall back to the
+    gif.py) and MJPEG MP4 video tracks decode for real (kernels/mp4.py
+    sample walk -> kernels/jpeg.py per-sample decode): n_frames are
+    sampled evenly across the composited animation / coded samples (frame
+    floor(i * total / n_frames)) and featurized from actual pixels.
+    Inter-frame codecs — and any corrupt payload — fall back to the
     deterministic byte-window digest featurizer (the same per-row
-    error-isolation contract as media_features); production swaps the GIF
-    path for an ffmpeg seek+decode at the same offsets without touching
-    the Spark plan.
+    error-isolation contract as media_features); production swaps those
+    for an ffmpeg seek+decode at the same offsets without touching the
+    Spark plan.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
