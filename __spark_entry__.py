@@ -1317,6 +1317,11 @@ _VERIFY_FIRST = [
     "text_winnow_fingerprint", "olap_priority_rollup",
     # new in round 4 (appended as implemented; window holds 50)
     "media_video_frame_features",
+    # r4 code drift (tools/freshness_ledger.py): kernels/{gif,mp4}.py,
+    # operators/multimodal.py and sources/mp4_fixture.py changed this round,
+    # so every query in their import closure needs a fresh driver row
+    "media_image_real_features", "media_mp4_metadata",
+    "media_audio_features", "media_wav_metadata",
 ]
 
 

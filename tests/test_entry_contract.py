@@ -42,6 +42,34 @@ class TestEntryContract:
             "url", "file_hash", "method", "text", "fields_json", "status", "error",
         ]
 
+    def test_oracle_freshness(self):
+        """VERDICT r3 item 8: a query whose implementing module (or its own
+        definition / oracle SQL) changed since its last driver-green round
+        must sit inside the first-50 verification window, or this gate goes
+        red. tools/freshness_ledger.py holds the per-query last-verified
+        commit; fix a violation by promoting the query into _VERIFY_FIRST
+        and running `python tools/freshness_ledger.py promote`."""
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        # git metadata may be absent in exported source trees; the gate only
+        # means something inside the tracked checkout
+        probe = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=repo, capture_output=True
+        )
+        if probe.returncode != 0:
+            pytest.skip("not a git checkout")
+        sys.path.insert(0, os.path.join(repo, "tools"))
+        import freshness_ledger
+
+        offenders = freshness_ledger.check(entrymod)
+        assert offenders == [], (
+            "stale driver evidence — promote into _VERIFY_FIRST "
+            f"and re-stamp: {offenders}"
+        )
+
     def test_oracle_dtype_parity(self, spark, contract):
         """The r1/r2 red rows (text_bpe_token_counts, olap_event_pivot) were
         value-equal but hash-mismatched: DuckDB sum()/sum(CASE) returns
