@@ -305,18 +305,21 @@ def media_mp4_metadata(
 def decode_image(payload: bytes) -> "np.ndarray":
     """Codec decode to a (h, w, c) uint8 pixel array.
 
-    PNG, JPEG (baseline + progressive) and GIF (first frame) decode for
-    real via the from-scratch pure-Python codecs (kernels/png.py — zlib
-    inflate + scanline unfilter; kernels/jpeg.py — Huffman + dequant +
-    IDCT + chroma upsampling; kernels/gif.py — LZW + compositing, all from
-    the public specs). Other formats raise NotImplementedError; production
-    swaps in a Pillow-backed decode without touching any Spark plan. The
+    PNG, JPEG (baseline + progressive), GIF (first frame) and lossless
+    WebP (VP8L) decode for real via the from-scratch pure-Python codecs
+    (kernels/png.py — zlib inflate + scanline unfilter; kernels/jpeg.py —
+    Huffman + dequant + IDCT + chroma upsampling; kernels/gif.py — LZW +
+    compositing; kernels/webp.py — VP8L prefix codes + color cache + LZ77
+    + all four transforms, all from the public specs). Lossy (VP8) WebP
+    and exotic formats raise NotImplementedError; production swaps in a
+    Pillow-backed decode without touching any Spark plan. The
     deterministic digest featurizer below keeps the plumbing testable for
     the unsupported formats.
     """
     from ..kernels.gif import GIF_MAGICS, decode_gif_first_frame
     from ..kernels.jpeg import JPEG_SOI, decode_jpeg
     from ..kernels.png import PNG_SIGNATURE, decode_png
+    from ..kernels.webp import RIFF_MAGIC, WEBP_FOURCC, decode_webp
 
     payload = payload or b""
     if payload[:8] == PNG_SIGNATURE:
@@ -325,9 +328,12 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return decode_jpeg(payload)
     if payload[:6] in GIF_MAGICS:
         return decode_gif_first_frame(payload)
+    if payload[:4] == RIFF_MAGIC and payload[8:12] == WEBP_FOURCC:
+        return decode_webp(payload)
     raise NotImplementedError(
-        "unsupported image codec (PNG/JPEG/GIF decode here; WebP and "
-        "exotic formats need libraries not present in this container)"
+        "unsupported image codec (PNG/JPEG/GIF/VP8L-WebP decode here; "
+        "lossy WebP and exotic formats need libraries not present in "
+        "this container)"
     )
 
 

@@ -97,6 +97,33 @@ def _gifs() -> list:
     ]
 
 
+def _webps() -> list:
+    from ..kernels.webp import encode_webp_vp8l
+
+    out = []
+    # small-palette icon (color-indexing transform + sub-byte bundling)
+    yy, xx = np.indices((14, 22))
+    icon_idx = ((yy // 3 + xx // 5) % 3).astype(np.uint8)
+    pal = np.array([[250, 40, 10, 255], [20, 200, 90, 255], [8, 8, 8, 128]],
+                   dtype=np.uint8)
+    out.append(("p-palette", encode_webp_vp8l(pal[icon_idx], palette=True)))
+    # photo-ish gradient: subtract-green + predictor + color cache + LZ77
+    g = np.stack([
+        (yy * 11 + 13) % 251, (xx * 7 + 40) % 251, ((yy + xx) * 5) % 251,
+        np.full_like(yy, 255),
+    ], axis=2).astype(np.uint8)
+    out.append(("q-gradient", encode_webp_vp8l(
+        g, subtract_green=True, predictor=7, cache_bits=5, use_lz77=True)))
+    # RGBA with real transparency, literal-coded
+    a = np.zeros((9, 17, 4), np.uint8)
+    a[..., 0] = (xx[:9, :17] * 15) % 256
+    a[..., 1] = 77
+    a[..., 2] = (yy[:9, :17] * 29) % 256
+    a[..., 3] = np.where((xx[:9, :17] + yy[:9, :17]) % 4 == 0, 60, 255)
+    out.append(("r-alpha", encode_webp_vp8l(a)))
+    return out
+
+
 def _feature_ints(payload: bytes, dim: int) -> str:
     from ..operators.multimodal import _fake_features, decode_image, pixel_features
 
@@ -151,6 +178,14 @@ def ensure_img_fixture(corpus_dir: str) -> str:
              for name, data in gifs]
     rows.append(("https://fixtures.test/img/n-corrupt.gif",
                  gifs[0][1][: len(gifs[0][1]) // 3]))
+    # real lossless WebPs (kernels/webp.py VP8L): palette/bundling,
+    # transform-stacked gradient, RGBA alpha — plus a corrupt-VP8L fallback
+    # row (valid RIFF/WEBP container, truncated stream)
+    webps = _webps()
+    rows += [(f"https://fixtures.test/img/{name}.webp", data)
+             for name, data in webps]
+    rows.append(("https://fixtures.test/img/s-corrupt.webp",
+                 webps[1][1][: len(webps[1][1]) // 2]))
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(p: str, tbl: pa.Table) -> None:

@@ -86,3 +86,23 @@ def test_mp4_metadata_round_trip(timescale, duration, tracks):
     vids = [t for t in tracks if t[0] == b"vide"]
     if vids:
         assert (m["width"], m["height"]) == (vids[0][1], vids[0][2])
+
+
+@settings(max_examples=12, deadline=None)
+@given(h=_dims, w=_dims,
+       n_colors=st.integers(min_value=1, max_value=40),
+       mode=st.sampled_from(["literal", "palette", "stack"]),
+       seed=st.integers(min_value=0, max_value=2 ** 31 - 1))
+def test_webp_vp8l_lossless(h, w, n_colors, mode, seed):
+    from pdf_parser_spark.kernels.webp import decode_webp, encode_webp_vp8l
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (n_colors, 4)).astype(np.uint8)
+    img = pal[rng.randint(0, n_colors, (h, w))]
+    kw = {}
+    if mode == "palette":
+        kw = {"palette": True}
+    elif mode == "stack":
+        kw = {"subtract_green": True, "predictor": seed % 14,
+              "cache_bits": 4, "use_lz77": True, "use_neighbor_codes": True}
+    assert np.array_equal(decode_webp(encode_webp_vp8l(img, **kw)), img)

@@ -158,7 +158,7 @@ class TestImgFixture:
         goldens = pq.read_table(
             p1.replace("media.parquet", "media_goldens.parquet")
         ).to_pydict()
-        assert media["url"] == goldens["url"] and len(media["url"]) == 15
+        assert media["url"] == goldens["url"] and len(media["url"]) == 19
         # every golden row re-derives from the kernel functions; PNG rows
         # must be REAL pixel features (differ from the digest fallback)
         n_real = 0
@@ -174,4 +174,6 @@ class TestImgFixture:
                 str(math.floor(float(f) * 1_000_000)) for f in feats
             )
             assert got == want, url
-        assert n_real == 11  # 5 PNGs + 4 JPEGs (incl. progressive) + 2 GIFs decode for real
+        # 5 PNGs + 4 JPEGs (incl. progressive) + 2 GIFs + 3 WebPs decode
+        # for real; the corrupt png/gif/webp rows fall to digest features
+        assert n_real == 14

@@ -31,6 +31,7 @@ from pdf_parser_spark.session import get_spark
 from pdf_parser_spark.pipeline import load_pages, extract_pipeline
 
 cores, corpus, runs, parts = {cores}, {corpus!r}, {runs}, {parts}
+plan_name = {plan!r}
 spark = get_spark(master=f"local[{{cores}}]", app_name=f"scale-{{cores}}",
                   shuffle_partitions=parts)
 spark.sparkContext.setLogLevel("ERROR")
@@ -41,7 +42,24 @@ stats = pages.agg(
      + F.sum(F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")))
      ).alias("bytes"),
 ).collect()[0]
-plan = extract_pipeline(pages).select("url", "status")  # shuffle-free default
+if plan_name == "lsh":
+    # shuffle-BEARING evidence plan (VERDICT r3 item 4): the end-to-end
+    # extract -> MinHash-LSH path users actually run. The banding is
+    # shingle-explode -> groupBy(doc) -> band-explode -> window count ->
+    # self-join — the exchange-heavy stages where 4N could stall on
+    # shuffle. (The corpus `text` COLUMN is a ~9-char stub; real document
+    # text only exists post-extraction, so LSH over the raw column would
+    # measure nothing but fixed overhead.)
+    from pdf_parser_spark.operators.dedup import minhash_lsh_pairs
+    docs = (
+        extract_pipeline(pages)
+        .where(F.col("status") == "ok")
+        .select(F.col("url").alias("doc_id"),
+                F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    )
+    plan = minhash_lsh_pairs(docs, num_hashes=16, bands=8, max_bucket=50)
+else:
+    plan = extract_pipeline(pages).select("url", "status")  # shuffle-free
 plan.count()  # cold run: worker fork + plan compile, excluded from timing
 best = float("inf")
 for _ in range(runs):
@@ -54,7 +72,8 @@ spark.stop()
 """
 
 
-def run_level(cores: int, corpus: str, runs: int, parts: int, trials: int) -> dict:
+def run_level(cores: int, corpus: str, runs: int, parts: int, trials: int,
+              plan: str = "extract") -> dict:
     # Pin the WHOLE process tree (JVM task threads + forked Python workers)
     # to exactly `cores` CPUs: local[N] alone only caps JVM task threads —
     # Python kernel workers would land on other cores, so an unpinned
@@ -65,7 +84,8 @@ def run_level(cores: int, corpus: str, runs: int, parts: int, trials: int) -> di
     # ADDS time, so best-of is the right estimator of machine capability —
     # single-trial efficiency on this box scatters 0.72-0.95 purely from
     # that noise.
-    code = CHILD.format(repo=REPO, cores=cores, corpus=corpus, runs=runs, parts=parts)
+    code = CHILD.format(repo=REPO, cores=cores, corpus=corpus, runs=runs,
+                        parts=parts, plan=plan)
     best = None
     for _ in range(trials):
         out = subprocess.run(
@@ -87,6 +107,9 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--trials", type=int, default=3,
                     help="fresh-JVM trials per level; best-of is reported")
+    ap.add_argument("--plan", choices=("extract", "lsh"), default="extract",
+                    help="extract = shuffle-free kernel plan; lsh = "
+                         "shuffle-bearing MinHash-LSH dedup plan")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -94,8 +117,8 @@ def main() -> int:
 
     corpus = ensure_corpus(args.sf)
     n, n4 = args.n, args.n * 4
-    lo = run_level(n, corpus, args.runs, args.parts, args.trials)
-    hi = run_level(n4, corpus, args.runs, args.parts, args.trials)
+    lo = run_level(n, corpus, args.runs, args.parts, args.trials, args.plan)
+    hi = run_level(n4, corpus, args.runs, args.parts, args.trials, args.plan)
 
     def tput(r):
         return {
@@ -106,6 +129,7 @@ def main() -> int:
 
     eff = (hi["docs"] / hi["sec"]) / (4 * lo["docs"] / lo["sec"])
     result = {
+        "plan": args.plan,
         "sf": args.sf,
         "docs": lo["docs"],
         "mb": round(lo["bytes"] / 1e6, 1),
