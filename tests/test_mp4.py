@@ -51,7 +51,92 @@ class TestRoundTrip:
         assert parse_mp4(d2)["timescale"] == parse_mp4(d)["timescale"]
 
 
-class TestRefusals:
+def _b(fourcc: bytes, *parts: bytes) -> bytes:
+    """Test-local box writer: explicit length prefix, no kernel imports."""
+    body = b"".join(parts)
+    return (len(body) + 8).to_bytes(4, "big") + fourcc + body
+
+
+class TestIndependentSpecAnchor:
+    """ISO/IEC 14496-12 streams assembled field-by-field IN THIS FILE
+    (not via the kernel's builder), so the parser's layout conventions are
+    anchored to the published spec rather than to a sibling function —
+    the GIF round-3 lesson. Deliberately exercises what `build_mp4` never
+    emits: version-1 mvhd/tkhd (64-bit times), unknown boxes interleaved
+    at every level, hdlr-before-mdhd child order, and mdat-before-moov
+    file layout."""
+
+    def test_version1_boxes_and_unknown_box_skip(self):
+        # mvhd v1: ver(1)+flags(3)+creation(8)+mod(8)+timescale(4)+
+        # duration(8)+rate(4)+volume(2)+res(2)+res(8)+matrix(36)+
+        # predefined(24)+next_track_id(4)
+        mvhd = _b(b"mvhd", bytes([1]), b"\x00" * 3,
+                  (0).to_bytes(8, "big"), (0).to_bytes(8, "big"),
+                  (90000).to_bytes(4, "big"), (450000).to_bytes(8, "big"),
+                  (0x00010000).to_bytes(4, "big"), b"\x01\x00", b"\x00" * 2,
+                  b"\x00" * 8, b"\x00" * 36, b"\x00" * 24,
+                  (2).to_bytes(4, "big"))
+        # tkhd v1: ver(1)+flags(3)+creation(8)+mod(8)+track_id(4)+res(4)+
+        # duration(8)+res(8)+layer(2)+alt(2)+volume(2)+res(2)+matrix(36)+
+        # width(4, 16.16)+height(4, 16.16)
+        tkhd = _b(b"tkhd", bytes([1]), b"\x00\x00\x07",
+                  (0).to_bytes(8, "big"), (0).to_bytes(8, "big"),
+                  (1).to_bytes(4, "big"), b"\x00" * 4,
+                  (450000).to_bytes(8, "big"), b"\x00" * 8,
+                  b"\x00" * 2, b"\x00" * 2, b"\x00" * 2, b"\x00" * 2,
+                  b"\x00" * 36,
+                  (1920 << 16).to_bytes(4, "big"),
+                  (1080 << 16).to_bytes(4, "big"))
+        # hdlr BEFORE mdhd (spec allows any child order):
+        # ver/flags(4)+pre_defined(4)+handler(4)+reserved(12)+name
+        hdlr = _b(b"hdlr", b"\x00" * 4, b"\x00" * 4, b"vide",
+                  b"\x00" * 12, b"x\x00")
+        mdhd = _b(b"mdhd", bytes([0]), b"\x00" * 3, b"\x00" * 4,
+                  b"\x00" * 4, (90000).to_bytes(4, "big"),
+                  (450000).to_bytes(4, "big"), b"\x55\xc4", b"\x00" * 2)
+        mdia = _b(b"mdia", hdlr, _b(b"skip", b"\xde\xad"), mdhd)
+        trak = _b(b"trak", _b(b"udta"), tkhd, mdia)
+        moov = _b(b"moov", _b(b"free", b"junk"), mvhd, trak)
+        ftyp = _b(b"ftyp", b"iso5", b"\x00" * 4, b"iso5mp41")
+        data = ftyp + _b(b"free") + moov + _b(b"mdat", b"\x00" * 3)
+        m = parse_mp4(data)
+        assert m == {"brand": "iso5", "timescale": 90000,
+                     "duration_ms": 5000, "n_tracks": 1,
+                     "width": 1920, "height": 1080,
+                     "has_video": True, "has_audio": False}
+
+    def test_mdat_before_moov_sample_walk(self):
+        # real progressive-download files put mdat first; stco offsets are
+        # absolute so the walk must not assume moov precedes the data.
+        from pdf_parser_spark.kernels.mp4 import extract_video_samples
+
+        samples = [b"AA", b"BBB", b"C"]
+        ftyp = _b(b"ftyp", b"isom", b"\x00" * 4, b"mp41")
+        assert len(ftyp) == 20
+        mdat = _b(b"mdat", b"".join(samples))
+        # chunk 1 = samples 0-1 at offset 28, chunk 2 = sample 2 at 33
+        stsd = _b(b"stsd", b"\x00" * 4, (1).to_bytes(4, "big"),
+                  _b(b"jpeg", b"\x00" * 8))
+        stsz = _b(b"stsz", b"\x00" * 4, (0).to_bytes(4, "big"),
+                  (3).to_bytes(4, "big"),
+                  b"".join(len(s).to_bytes(4, "big") for s in samples))
+        stco = _b(b"stco", b"\x00" * 4, (2).to_bytes(4, "big"),
+                  (28).to_bytes(4, "big"), (33).to_bytes(4, "big"))
+        stsc = _b(b"stsc", b"\x00" * 4, (2).to_bytes(4, "big"),
+                  (1).to_bytes(4, "big") + (2).to_bytes(4, "big")
+                  + (1).to_bytes(4, "big"),
+                  (2).to_bytes(4, "big") + (1).to_bytes(4, "big")
+                  + (1).to_bytes(4, "big"))
+        stbl = _b(b"stbl", stsd, stsz, stco, stsc)
+        hdlr = _b(b"hdlr", b"\x00" * 4, b"\x00" * 4, b"vide",
+                  b"\x00" * 12, b"\x00")
+        mdia = _b(b"mdia", hdlr, _b(b"minf", stbl))
+        mvhd = _b(b"mvhd", bytes([0]), b"\x00" * 3, b"\x00" * 4,
+                  b"\x00" * 4, (1000).to_bytes(4, "big"),
+                  (300).to_bytes(4, "big"), b"\x00" * 80)
+        moov = _b(b"moov", mvhd, _b(b"trak", mdia))
+        fmt, got = extract_video_samples(ftyp + mdat + moov)
+        assert fmt == "jpeg" and got == samples
     def test_not_mp4(self):
         with pytest.raises(MP4Error):
             parse_mp4(b"not an iso-bmff container at all")
