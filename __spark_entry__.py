@@ -1056,6 +1056,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return M.media_metadata(_pages(spark, sf_dir)).orderBy("url")
     q["media_metadata"] = media_metadata
 
+    def media_image_dimensions(spark, sf_dir):
+        # resolution gate WITHOUT decoding: width/height from fixed header
+        # offsets (PNG IHDR big-endian, GIF LSD little-endian, WebP VP8L
+        # 14-bit packed fields) as pure JVM expressions over the first 26
+        # payload bytes; jpegs / sub-header truncations are 'other' with
+        # NULL dims. Oracle re-derives every field with the same byte
+        # arithmetic over hex(payload) in DuckDB — a full independent
+        # re-computation, not baked goldens.
+        from pdf_parser_spark.sources.img_fixture import ensure_img_fixture
+
+        path = ensure_img_fixture(ensure_corpus(sf_dir))
+        df = spark.read.parquet(path)
+        return M.image_dimensions(df, bin_col="payload").orderBy("url")
+    q["media_image_dimensions"] = media_image_dimensions
+
     # arrays are projected to a CSV of recovered digest bytes: the driver's
     # canonicalizer sorts on raw column values, and Python lists are
     # unhashable there (round-1 hard failure) — and the int projection makes
@@ -1322,6 +1337,8 @@ _VERIFY_FIRST = [
     # so every query in their import closure needs a fresh driver row
     "media_image_real_features", "media_mp4_metadata",
     "media_audio_features", "media_wav_metadata",
+    # new in round 4: header-sniffed dims (fills the window's 50th slot)
+    "media_image_dimensions",
 ]
 
 
@@ -2531,5 +2548,47 @@ def oracle_sql() -> dict[str, str]:
             ELSE 'unknown'
           END AS media_kind
         FROM {pages} ORDER BY url
+    """
+
+    # image dims re-derived from header bytes (PNG IHDR BE32 at bytes
+    # 16-23, GIF LSD LE16 at 6-9, VP8L 14-bit packed at 21-24), the same
+    # fixed-offset arithmetic the Spark operator compiles to JVM
+    # expressions — no goldens involved
+    def ib(i: int) -> str:  # payload byte i (0-indexed) as BIGINT
+        return f"('0x' || substring(H, {2 * i + 1}, 2))::BIGINT"
+
+    o["media_image_dimensions"] = f"""
+        WITH p AS (
+          SELECT url, upper(hex(payload)) AS H,
+                 COALESCE(octet_length(payload), 0) AS n
+          FROM read_parquet('{IMG_01}')
+        ),
+        m AS (
+          SELECT url, H,
+            (n >= 24 AND substring(H, 1, 16) = '89504E470D0A1A0A'
+                     AND substring(H, 25, 8) = '49484452') AS is_png,
+            (n >= 10 AND substring(H, 1, 12)
+                         IN ('474946383761', '474946383961')) AS is_gif,
+            (n >= 25 AND substring(H, 1, 8) = '52494646'
+                     AND substring(H, 17, 8) = '57454250'
+                     AND substring(H, 25, 8) = '5650384C'
+                     AND substring(H, 41, 2) = '2F') AS is_vp8l
+          FROM p
+        )
+        SELECT url,
+          CASE WHEN is_png THEN 'png' WHEN is_gif THEN 'gif'
+               WHEN is_vp8l THEN 'webp-vp8l' ELSE 'other' END AS img_kind,
+          CAST(CASE
+            WHEN is_png THEN ('0x' || substring(H, 33, 8))::BIGINT
+            WHEN is_gif THEN {ib(6)} + 256 * {ib(7)}
+            WHEN is_vp8l THEN 1 + {ib(21)} + 256 * ({ib(22)} % 64)
+          END AS INT) AS width,
+          CAST(CASE
+            WHEN is_png THEN ('0x' || substring(H, 41, 8))::BIGINT
+            WHEN is_gif THEN {ib(8)} + 256 * {ib(9)}
+            WHEN is_vp8l THEN 1 + ({ib(22)} // 64) + 4 * {ib(23)}
+                              + 1024 * ({ib(24)} % 16)
+          END AS INT) AS height
+        FROM m ORDER BY url
     """
     return o

@@ -511,3 +511,65 @@ class TestAudioSamples:
         assert w.peak_abs == 500
         assert rows["r"].media_kind == "riff" and rows["r"].n_samples is None
         assert rows["j"].media_kind == "unknown"
+
+
+class TestImageDimensions:
+    def test_matches_real_decoders_on_fixture(self, spark, tmp_path):
+        # differential: the header-sniffed dims must equal the shape the
+        # real codecs decode to, for every png/gif/vp8l row in the fixture
+        import pyarrow.parquet as pq
+
+        from pdf_parser_spark.operators.multimodal import (
+            decode_image, image_dimensions,
+        )
+        from pdf_parser_spark.sources.img_fixture import ensure_img_fixture
+
+        path = ensure_img_fixture(str(tmp_path))
+        media = pq.read_table(path).to_pydict()
+        df = spark.read.parquet(path)
+        got = {r.url: r for r in
+               image_dimensions(df, bin_col="payload").collect()}
+        n_checked = 0
+        for url, payload in zip(media["url"], media["payload"]):
+            r = got[url]
+            if r.img_kind == "other":
+                assert r.width is None and r.height is None, url
+                continue
+            try:
+                h, w = decode_image(bytes(payload)).shape[:2]
+            except Exception:
+                # corrupt fixture rows truncate the STREAM but keep the
+                # header: a header sniffer still reports dims (correct),
+                # there is just no decoded shape to compare against
+                assert "corrupt" in url or "truncated" in url, url
+                continue
+            assert (r.width, r.height) == (w, h), (url, r)
+            n_checked += 1
+        # every png + gif + vp8l row sniffs, INCLUDING the corrupt rows
+        # whose header survives truncation (a sniffing op reads headers,
+        # not streams); jpegs are 'other' (no fixed-offset dims)
+        assert n_checked >= 10
+
+    def test_corrupt_header_rows_are_other(self, spark):
+        from pdf_parser_spark.kernels.webp import encode_webp_vp8l
+        from pdf_parser_spark.operators.multimodal import image_dimensions
+
+        import numpy as np
+
+        wp = encode_webp_vp8l(np.zeros((3, 300, 4), np.uint8))
+        rows = [
+            ("png-7-bytes", bytearray(b"\x89PNG\r\n\x1a")),
+            ("gif-9-bytes", bytearray(b"GIF89a\x05\x00\x05")),
+            ("webp-under-header", bytearray(wp[:24])),
+            ("jpeg", bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 40)),
+            ("null", None),
+            ("wide-webp", bytearray(wp)),
+        ]
+        df = spark.createDataFrame(rows, "url string, payload binary")
+        got = {r.url: r for r in
+               image_dimensions(df, bin_col="payload").collect()}
+        for u in ("png-7-bytes", "gif-9-bytes", "webp-under-header",
+                  "jpeg", "null"):
+            assert got[u].img_kind == "other" and got[u].width is None, u
+        assert (got["wide-webp"].img_kind, got["wide-webp"].width,
+                got["wide-webp"].height) == ("webp-vp8l", 300, 3)
