@@ -573,3 +573,36 @@ class TestImageDimensions:
             assert got[u].img_kind == "other" and got[u].width is None, u
         assert (got["wide-webp"].img_kind, got["wide-webp"].width,
                 got["wide-webp"].height) == ("webp-vp8l", 300, 3)
+
+    def test_boundary_dims_differential_vs_encoders(self, spark):
+        # field-boundary crossings where an offset/packing mistake flips
+        # the answer: GIF LE16 high byte (w=256), VP8L b1->b2 carry
+        # (w=257), VP8L height crossing the b2>>6 | b3<<2 seam (h=5, 100,
+        # 1025), PNG 32-bit field past 16 bits (w=70000 would be 1.4 GB as
+        # RGBA; 1x70000 grayscale is 70 kB)
+        import numpy as np
+
+        from pdf_parser_spark.kernels.gif import encode_gif
+        from pdf_parser_spark.kernels.png import encode_png
+        from pdf_parser_spark.kernels.webp import encode_webp_vp8l
+        from pdf_parser_spark.operators.multimodal import image_dimensions
+
+        cases = []
+        for w, h in [(256, 3), (255, 2), (1, 300)]:
+            cases.append((f"gif-{w}x{h}", "gif", w, h,
+                          encode_gif(np.zeros((h, w, 3), np.uint8))))
+        for w, h in [(257, 5), (16384, 1), (1, 1025), (3, 100)]:
+            cases.append((f"webp-{w}x{h}", "webp-vp8l", w, h,
+                          encode_webp_vp8l(np.zeros((h, w, 4), np.uint8))))
+        for w, h in [(70000, 1), (1, 70000), (300, 2)]:
+            cases.append((f"png-{w}x{h}", "png", w, h,
+                          encode_png(np.zeros((h, w), np.uint8))))
+        df = spark.createDataFrame(
+            [(name, bytearray(data)) for name, _k, _w, _h, data in cases],
+            "url string, payload binary",
+        )
+        got = {r.url: r for r in
+               image_dimensions(df, bin_col="payload").collect()}
+        for name, k, w, h, _data in cases:
+            r = got[name]
+            assert (r.img_kind, r.width, r.height) == (k, w, h), (name, r)
