@@ -1309,36 +1309,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (tools/check_oracles.py), so rotation only changes which subset the driver
 # re-proves each round: least-recently-verified first.
 _VERIFY_FIRST = [
-    # round-4 window: the 39 queries last driver-verified in r2, led by the
-    # two whose plans changed after their last driver row (VERDICT r3 §2)
-    "dedup_minhash_lsh_pairs_capped", "ann_knn_join_gemm",
-    # GIF-codec-adjacent media queries — the r4 LZW end-code fix re-baked
-    # their goldens, so they need fresh driver rows even though r3-green
-    "media_gif_frame_features", "media_thumbnails",
-    "media_frame_sample", "media_metadata", "media_features",
-    # remaining r2-verified backlog
-    "p4_regex_fields", "p5_multi_pattern_fallback", "p9_prompt_truncation",
-    "p10_discovery_truncation", "p11_json_sniff", "p11b_typed_json_parse",
-    "p12_display_name_join", "w1_topk_limit", "w2_label_band_filter",
-    "s2_warc_source", "s2_warc_datasource", "f6_unknown_field_skip",
-    "p7_pattern_precompile", "s6_ddl_on_first_use", "a3_idempotent_resume",
-    "s5_json_export", "dedup_exact", "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_pruned", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_clusters", "ann_bruteforce_topk", "ann_embedding_near_dup",
-    "ann_lsh_bucketed_topk", "ann_ivf_topk", "ann_bucketed_near_dup",
-    "ann_knn_join", "text_token_count", "text_quality_score",
-    "text_lang_id", "text_fingerprint", "text_lm_quality",
-    "text_winnow_fingerprint", "olap_priority_rollup",
-    # new in round 4 (appended as implemented; window holds 50)
-    "media_video_frame_features",
-    # r4 code drift (tools/freshness_ledger.py): kernels/{gif,mp4}.py,
-    # operators/multimodal.py and sources/mp4_fixture.py changed this round,
-    # so every query in their import closure needs a fresh driver row
-    "media_image_real_features", "media_mp4_metadata",
+    # round-5 window. Slot budget (window = 50, driver checks first 50):
+    #   - 37 of the 41 queries last driver-verified in r3 (VERDICT r4 item 1)
+    #   - all 11 media_* queries: round 5 touches kernels/webp.py (ADVICE r4
+    #     distance/TR fixes), kernels/mp4.py (co64), operators/multimodal.py
+    #     (JPEG/BMP/ICO/TIFF/VP8X dims, MP3) — one shared import closure, so
+    #     the freshness ledger forces every media query in-window
+    #   - 2 new-in-r5 queries (media_mp3_metadata, pipeline_curate_end2end)
+    # That sums to 50; the 4 r3-verified queries left OUT of the window
+    # (f3_magic_router, f4_extension_predicate, f5_empty_text_guard,
+    # p3_content_hash) are single-expression column ops, driver-green in BOTH
+    # r2 and r3, byte-identical golden tests in pytest, and their code is
+    # ledger-frozen (tools/freshness_ledger.py check == 0 violations).
+    # r3-stale backlog, least-recently-verified evidence first:
+    "extract_classic_pipeline", "extract_ai_pipeline", "ai_label_discovery",
+    "extract_error_accounting", "f1_f2_size_filter",
+    "dedup_clusters_capped", "ann_dup_clusters", "text_bpe_token_counts",
+    "olap_event_pivot", "olap_event_moving_avg", "olap_event_cube",
+    "olap_user_activity_fullouter", "set_ops_feed_vs_ok",
+    "udaf_geomean_chars", "udf_groupmap_zscore",
+    "pipeline_extract_dedup_chunk", "shape_chunk_documents",
+    "shape_pack_documents", "shape_pack_bpe_tokens",
+    "shape_deterministic_sample", "olap_pricing_summary",
+    "olap_regional_revenue", "olap_value_quantiles", "olap_order_priority",
+    "temporal_asof_join", "temporal_interval_join", "temporal_sessionize",
+    "temporal_session_window_native", "clean_canonical_url",
+    "clean_scrub_pii", "clean_repetition_flags", "clean_stopword_stats",
+    "clean_line_dedup", "clean_domain_stats", "sql_udf_extract_text",
+    "sql_udtf_field_rows", "stream_extract_lift",
+    # media closure changed in r5 (webp/mp4/multimodal edits):
+    "media_metadata", "media_image_dimensions", "media_image_real_features",
+    "media_thumbnails", "media_gif_frame_features", "media_features",
+    "media_frame_sample", "media_video_frame_features", "media_mp4_metadata",
     "media_audio_features", "media_wav_metadata",
-    # new in round 4: header-sniffed dims (fills the window's 50th slot)
-    "media_image_dimensions",
+    # new in round 5 (fills the window to exactly 50; uncommented as each
+    # query lands):
+    # "media_mp3_metadata", "pipeline_curate_end2end",
 ]
 
 
