@@ -88,10 +88,14 @@ _DISTANCE_CODE = {off: i + 1 for i, off in enumerate(DISTANCE_MAP)}
 
 
 def _plane_code_to_distance(xsize: int, plane_code: int) -> int:
+    # Spec: dist = xoffset + yoffset * xsize, where positive xoffset means
+    # columns to the LEFT of the current pixel (kCodeToPlane xoffset =
+    # 8 - (code & 0xF)); the pair order in DISTANCE_MAP matches the spec
+    # table, so dx here IS that xoffset. Clamp to >= 1 per the spec.
     if plane_code > 120:
         return plane_code - 120
     dx, dy = DISTANCE_MAP[plane_code - 1]
-    return max(1, dy * xsize - dx)
+    return max(1, dy * xsize + dx)
 
 
 # ---------------------------------------------------------------------------
@@ -473,7 +477,11 @@ def _inverse_predictor(pix: np.ndarray, w: int, h: int, bits: int,
                 l = int(out[i - 1])
                 t = int(out[i - w])
                 tl = int(out[i - w - 1])
-                tr = int(out[i - w + 1]) if x + 1 < w else int(out[i - w])
+                # rightmost column: top-right wraps to the CURRENT row's
+                # first pixel (i - w + 1 == y * w, already decoded) — the
+                # spec/libwebp read top_row[x + 1], which in the contiguous
+                # framebuffer is data[y * xsize], not the top pixel
+                tr = int(out[i - w + 1])
                 pred = _predict(mode, l, t, tl, tr)
             out[i] = _add_pixels(int(pix[i]), pred)
     return out
@@ -755,9 +763,9 @@ def _tokenize(pix: np.ndarray, w: int, cache_bits: int,
                     length, dist = m, d
         if length:
             dy, rem = divmod(dist, w)
-            dx = -rem
+            dx = rem
             if rem > w // 2:
-                dy, dx = dy + 1, w - rem
+                dy, dx = dy + 1, rem - w
             code = None
             if use_neighbor_codes and dy <= 8 and -8 <= dx <= 8:
                 code = _DISTANCE_CODE.get((dx, dy))
@@ -908,7 +916,9 @@ def _forward_predictor(pix: np.ndarray, w: int, h: int, mode: int,
                 l = int(pix[i - 1])
                 t = int(pix[i - w])
                 tl = int(pix[i - w - 1])
-                tr = int(pix[i - w + 1]) if x + 1 < w else int(pix[i - w])
+                # mirrors the decoder's right-edge TR wraparound (above):
+                # for x == w - 1 this reads the current row's first pixel
+                tr = int(pix[i - w + 1])
                 pred = _predict(mode, l, t, tl, tr)
             res[i] = _sub_pixels(int(pix[i]), pred)
     tw, th = _subsample_size(w, bits), _subsample_size(h, bits)

@@ -181,6 +181,121 @@ class TestSpecAnchor:
         assert out[0, 0].tolist() == [5, 17, 33, 255]
         assert out[0, 1].tolist() == [5, 17, 33, 255]
 
+    def test_plane_code_distance_formula(self):
+        # Spec/libwebp: dist = xoffset + yoffset * xsize where the pair
+        # order is DISTANCE_MAP's and positive xoffset means columns to the
+        # LEFT (kCodeToPlane xoffset = 8 - (code & 0xF)). Hand-computed
+        # values for the first 8 codes at xsize=10:
+        #   (0,1)->10 (1,0)->1 (1,1)->11 (-1,1)->9
+        #   (0,2)->20 (2,0)->2 (1,2)->21 (-1,2)->19
+        # The r4-advised failure mode was a sign flip (dy*xsize - dx) that
+        # swapped paired codes 3/4 and 7/8 — this anchor kills it.
+        from pdf_parser_spark.kernels.webp import _plane_code_to_distance
+        got = [_plane_code_to_distance(10, c) for c in range(1, 9)]
+        assert got == [10, 1, 11, 9, 20, 2, 21, 19]
+        # clamp to >= 1: code 4 is (-1, 1), at xsize=1 the raw dist is 0
+        assert _plane_code_to_distance(1, 4) == 1
+        # codes > 120 encode dist - 120 directly
+        assert _plane_code_to_distance(10, 121) == 1
+        assert _plane_code_to_distance(10, 160) == 40
+
+    def test_spec_anchor_lz77_plane_code(self):
+        # 3x2 image; pixels 0..3 are literals distinguished by (red, blue),
+        # pixels 4..5 are one LZ77 copy of length 2 with distance PLANE
+        # CODE 3 = offset (1, 1) -> dist = 1*3 + 1 = 4, so p4 copies p0 and
+        # p5 copies p1. A sign-flipped conversion (dist = 3 - 1 = 2) would
+        # copy p2/p3 instead — different reds/blues.
+        b = _SpecBits()
+        b.put(0x2F, 8)
+        b.put(2, 14)                     # width - 1 = 2
+        b.put(1, 14)                     # height - 1 = 1
+        b.put(0, 1)                      # alpha hint
+        b.put(0, 3)                      # version
+        b.put(0, 1)                      # no transforms
+        b.put(0, 1)                      # no color cache
+        b.put(0, 1)                      # no meta prefix image
+        # green: NORMAL code; symbols 0 (literal) and 257 (length-2 copy)
+        # both length 1 -> canonical codes 0 and 1 (same CL machinery as
+        # the color-cache anchor above)
+        b.put(0, 1)                      # not simple
+        b.put(0, 4)                      # num_code_lengths = 4
+        for l in (0, 0, 1, 1):           # CL order 17,18,0,1 -> lens
+            b.put(l, 3)
+        b.put(0, 1)                      # no max-symbol cap
+        for s in range(280):             # alphabet 256 + 24 (no cache)
+            b.put_code_msb_first(1 if s in (0, 257) else 0, 1)
+        # red: simple 2-symbol {1, 2}
+        b.put(1, 1); b.put(1, 1)         # simple, two symbols
+        b.put(0, 1); b.put(1, 1)         # first symbol '1' in 1 bit
+        b.put(2, 8)                      # second symbol
+        # blue: simple 2-symbol {5, 6}
+        b.put(1, 1); b.put(1, 1)
+        b.put(1, 1); b.put(5, 8)         # first symbol '5' needs 8 bits
+        b.put(6, 8)
+        _simple_code_1(b, 255)           # alpha
+        _simple_code_1(b, 2)             # distance: prefix symbol 2 -> 3
+        # payload: 4 literals (green, red, blue bits), then the copy
+        for rbit, bbit in ((0, 0), (1, 0), (0, 1), (1, 1)):
+            b.put_code_msb_first(0, 1)   # green literal 0
+            b.put_code_msb_first(rbit, 1)
+            b.put_code_msb_first(bbit, 1)
+        b.put_code_msb_first(1, 1)       # green symbol 257: length code 1
+        # -> length 2, no extra bits; distance code is single-symbol (0
+        # bits) -> prefix symbol 2 -> dist code 3 -> plane code 3
+        out = decode_vp8l(b.bytes())
+        assert out.shape == (2, 3, 4)
+        assert out[0, 0].tolist() == [1, 0, 5, 255]
+        assert out[0, 1].tolist() == [2, 0, 5, 255]
+        assert out[0, 2].tolist() == [1, 0, 6, 255]
+        assert out[1, 0].tolist() == [2, 0, 6, 255]
+        assert out[1, 1].tolist() == [1, 0, 5, 255]   # copy of p0
+        assert out[1, 2].tolist() == [2, 0, 5, 255]   # copy of p1
+
+    def test_spec_anchor_predictor_tr_right_edge(self):
+        # 2x2 image under the predictor transform, one 4x4 tile with mode 3
+        # (TR). For the bottom-right pixel (rightmost column) the spec's TR
+        # is top_row[x+1], which in the contiguous framebuffer is the
+        # CURRENT row's first pixel — not the top pixel. Residuals are
+        # chosen so the wrong fallback changes the decoded green (40 vs 80).
+        b = _SpecBits()
+        b.put(0x2F, 8)
+        b.put(1, 14)                     # width - 1 = 1
+        b.put(1, 14)                     # height - 1 = 1
+        b.put(0, 1)
+        b.put(0, 3)
+        b.put(1, 1)                      # transform present
+        b.put(0, 2)                      # PREDICTOR transform
+        b.put(0, 3)                      # size_bits - 2 = 0 -> 4x4 tiles
+        # 1x1 tile sub-image (entropy-coded: cache-info, codes, no meta)
+        b.put(0, 1)                      # no color cache
+        _simple_code_1(b, 3)             # tile green = predictor mode 3
+        _simple_code_1(b, 0)             # red
+        _simple_code_1(b, 0)             # blue
+        _simple_code_1(b, 0)             # alpha
+        _simple_code_1(b, 0)             # distance
+        b.put(0, 1)                      # no more transforms
+        b.put(0, 1)                      # no color cache (main image)
+        b.put(0, 1)                      # no meta prefix image
+        # residual codes: green {0,40}, red {0,7}, blue {0,9}, alpha {0}
+        b.put(1, 1); b.put(1, 1); b.put(0, 1); b.put(0, 1); b.put(40, 8)
+        b.put(1, 1); b.put(1, 1); b.put(0, 1); b.put(0, 1); b.put(7, 8)
+        b.put(1, 1); b.put(1, 1); b.put(0, 1); b.put(0, 1); b.put(9, 8)
+        _simple_code_1(b, 0)             # alpha
+        _simple_code_1(b, 0)             # distance
+        # residual payload (green, red, blue bits per pixel):
+        # p00=(g0,r0,b0) p01=(0,0,0) p10=(40,0,0) p11=(40,7,9)
+        for gbit, rbit, bbit in ((0, 0, 0), (0, 0, 0), (1, 0, 0), (1, 1, 1)):
+            b.put_code_msb_first(gbit, 1)
+            b.put_code_msb_first(rbit, 1)
+            b.put_code_msb_first(bbit, 1)
+        out = decode_vp8l(b.bytes())
+        # (0,0): BLACK pred; (0,1): left; (1,0): top; (1,1): mode 3 TR ->
+        # current row's first pixel (255,0,40,0) -> (255,7,80,9)
+        assert out[0, 0].tolist() == [0, 0, 0, 255]
+        assert out[0, 1].tolist() == [0, 0, 0, 255]
+        assert out[1, 0].tolist() == [0, 40, 0, 255]
+        assert out[1, 1].tolist() == [7, 80, 9, 255]
+
     def test_distance_map_spec_prefix(self):
         # first rows of the spec's published distance-mapping table
         spec = [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2),
