@@ -190,8 +190,10 @@ def extract_video_samples(data: bytes) -> Tuple[str, List[bytes]]:
         stsd = _find_child(data, stbl[0], stbl[1], b"stsd")
         stsz = _find_child(data, stbl[0], stbl[1], b"stsz")
         stco = _find_child(data, stbl[0], stbl[1], b"stco")
+        co64 = _find_child(data, stbl[0], stbl[1], b"co64")
         stsc = _find_child(data, stbl[0], stbl[1], b"stsc")
-        if None in (stsd, stsz, stco, stsc):
+        if (None in (stsd, stsz, stsc)
+                or (stco is None and co64 is None)):
             raise MP4Error("video track without complete sample tables")
         if _be32(data, stsd[0] + 4) < 1:
             raise MP4Error("empty stsd")
@@ -203,7 +205,18 @@ def extract_video_samples(data: bytes) -> Tuple[str, List[bytes]]:
             sizes = [fixed] * n_samples
         else:
             sizes = [_be32(data, stsz[0] + 12 + 4 * i) for i in range(n_samples)]
-        offsets = [r[0] for r in _full_box_table(data, stco[0], 1)]
+        if stco is not None:
+            offsets = [r[0] for r in _full_box_table(data, stco[0], 1)]
+        else:
+            # co64: same table shape as stco with 64-bit chunk offsets
+            # (ISO/IEC 14496-12 §8.7.5; ffmpeg emits it for >4 GB files
+            # and some faststart layouts)
+            n_off = _be32(data, co64[0] + 4)
+            offsets = [
+                (_be32(data, co64[0] + 8 + 8 * i) << 32)
+                | _be32(data, co64[0] + 12 + 8 * i)
+                for i in range(n_off)
+            ]
         runs = _full_box_table(data, stsc[0], 3)
         if not runs or not offsets:
             raise MP4Error("empty chunk tables")

@@ -137,6 +137,40 @@ class TestIndependentSpecAnchor:
         moov = _b(b"moov", mvhd, _b(b"trak", mdia))
         fmt, got = extract_video_samples(ftyp + mdat + moov)
         assert fmt == "jpeg" and got == samples
+
+    def test_co64_chunk_offsets(self):
+        # co64 (ISO/IEC 14496-12 §8.7.5) replaces stco with 64-bit chunk
+        # offsets; ffmpeg emits it for >4 GB files and faststart edge
+        # cases. Table shape is identical, entries are 8 bytes. The r4
+        # advisor flagged that co64 silently landed on the digest fallback.
+        from pdf_parser_spark.kernels.mp4 import extract_video_samples
+
+        samples = [b"AA", b"BBB", b"C"]
+        ftyp = _b(b"ftyp", b"isom", b"\x00" * 4, b"mp41")
+        mdat = _b(b"mdat", b"".join(samples))
+        stsd = _b(b"stsd", b"\x00" * 4, (1).to_bytes(4, "big"),
+                  _b(b"jpeg", b"\x00" * 8))
+        stsz = _b(b"stsz", b"\x00" * 4, (0).to_bytes(4, "big"),
+                  (3).to_bytes(4, "big"),
+                  b"".join(len(s).to_bytes(4, "big") for s in samples))
+        co64 = _b(b"co64", b"\x00" * 4, (2).to_bytes(4, "big"),
+                  (28).to_bytes(8, "big"), (33).to_bytes(8, "big"))
+        stsc = _b(b"stsc", b"\x00" * 4, (2).to_bytes(4, "big"),
+                  (1).to_bytes(4, "big") + (2).to_bytes(4, "big")
+                  + (1).to_bytes(4, "big"),
+                  (2).to_bytes(4, "big") + (1).to_bytes(4, "big")
+                  + (1).to_bytes(4, "big"))
+        stbl = _b(b"stbl", stsd, stsz, co64, stsc)
+        hdlr = _b(b"hdlr", b"\x00" * 4, b"\x00" * 4, b"vide",
+                  b"\x00" * 12, b"\x00")
+        mdia = _b(b"mdia", hdlr, _b(b"minf", stbl))
+        mvhd = _b(b"mvhd", bytes([0]), b"\x00" * 3, b"\x00" * 4,
+                  b"\x00" * 4, (1000).to_bytes(4, "big"),
+                  (300).to_bytes(4, "big"), b"\x00" * 80)
+        moov = _b(b"moov", mvhd, _b(b"trak", mdia))
+        fmt, got = extract_video_samples(ftyp + mdat + moov)
+        assert fmt == "jpeg" and got == samples
+
     def test_not_mp4(self):
         with pytest.raises(MP4Error):
             parse_mp4(b"not an iso-bmff container at all")
