@@ -1057,13 +1057,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_metadata"] = media_metadata
 
     def media_image_dimensions(spark, sf_dir):
-        # resolution gate WITHOUT decoding: width/height from fixed header
-        # offsets (PNG IHDR big-endian, GIF LSD little-endian, WebP VP8L
-        # 14-bit packed fields) as pure JVM expressions over the first 26
-        # payload bytes; jpegs / sub-header truncations are 'other' with
-        # NULL dims. Oracle re-derives every field with the same byte
-        # arithmetic over hex(payload) in DuckDB — a full independent
-        # re-computation, not baked goldens.
+        # resolution gate WITHOUT decoding. Fixed-offset formats (PNG IHDR
+        # BE, GIF LSD LE, VP8L 14-bit packed, VP8X LE24 canvas, BMP
+        # BITMAPINFOHEADER incl. top-down negative height, ICO directory
+        # with the 0-means-256 rule) are pure JVM expressions over the
+        # first 30 payload bytes; variable-header formats (JPEG SOFn
+        # marker walk, TIFF IFD walk) run in an Arrow-batched pandas UDF
+        # over at most a 64 KB prefix shipped ONLY for those rows. Oracle
+        # re-derives every field independently in DuckDB: hex arithmetic
+        # for the fixed offsets, a recursive-CTE marker walk for JPEG, a
+        # generate_series IFD walk for TIFF — no baked goldens.
         from pdf_parser_spark.sources.img_fixture import ensure_img_fixture
 
         path = ensure_img_fixture(ensure_corpus(sf_dir))
@@ -2561,16 +2564,39 @@ def oracle_sql() -> dict[str, str]:
     # fixed-offset arithmetic the Spark operator compiles to JVM
     # expressions — no goldens involved
     def ib(i: int) -> str:  # payload byte i (0-indexed) as BIGINT
-        return f"('0x' || substring(H, {2 * i + 1}, 2))::BIGINT"
+        # TRY_CAST because the expression can sit OUTSIDE a lazy CASE arm
+        # (e.g. the is_bmp header-size test) where a short payload makes
+        # the substring empty; COALESCE(0) keeps sniff predicates false
+        return (f"COALESCE(TRY_CAST('0x' || substring(H, {2 * i + 1}, 2) "
+                f"AS BIGINT), 0)")
 
+    # dynamic-offset variants (o is a SQL expression, 0-indexed byte):
+    def ibx(o: str) -> str:
+        # TRY_CAST: DuckDB evaluates WHERE conjuncts in no guaranteed
+        # order, so a bounds guard can't protect a sibling cast
+        return (f"COALESCE(TRY_CAST('0x' || substring(H, "
+                f"CAST(2*({o})+1 AS INT), 2) AS BIGINT), 0)")
+
+    def u16x(o: str) -> str:  # endian-switched 16-bit at dynamic offset
+        return (f"(CASE WHEN le THEN {ibx(o)} + 256*{ibx(f'({o})+1')} "
+                f"ELSE 256*{ibx(o)} + {ibx(f'({o})+1')} END)")
+
+    def u32x(o: str) -> str:
+        return (f"(CASE WHEN le THEN {ibx(o)} + 256*{ibx(f'({o})+1')} "
+                f"+ 65536*{ibx(f'({o})+2')} + 16777216*{ibx(f'({o})+3')} "
+                f"ELSE 16777216*{ibx(o)} + 65536*{ibx(f'({o})+1')} "
+                f"+ 256*{ibx(f'({o})+2')} + {ibx(f'({o})+3')} END)")
+
+    _SOFS = ("'C0','C1','C2','C3','C5','C6','C7','C9','CA','CB',"
+             "'CD','CE','CF'")
     o["media_image_dimensions"] = f"""
-        WITH p AS (
+        WITH RECURSIVE p AS (
           SELECT url, upper(hex(payload)) AS H,
                  COALESCE(octet_length(payload), 0) AS n
           FROM read_parquet('{IMG_01}')
         ),
         m AS (
-          SELECT url, H,
+          SELECT url, H, n,
             (n >= 24 AND substring(H, 1, 16) = '89504E470D0A1A0A'
                      AND substring(H, 25, 8) = '49484452') AS is_png,
             (n >= 10 AND substring(H, 1, 12)
@@ -2578,23 +2604,131 @@ def oracle_sql() -> dict[str, str]:
             (n >= 25 AND substring(H, 1, 8) = '52494646'
                      AND substring(H, 17, 8) = '57454250'
                      AND substring(H, 25, 8) = '5650384C'
-                     AND substring(H, 41, 2) = '2F') AS is_vp8l
+                     AND substring(H, 41, 2) = '2F') AS is_vp8l,
+            (n >= 30 AND substring(H, 1, 8) = '52494646'
+                     AND substring(H, 17, 8) = '57454250'
+                     AND substring(H, 25, 8) = '56503858') AS is_vp8x,
+            (n >= 26 AND substring(H, 1, 4) = '424D'
+                     AND {ib(14)} IN (40, 52, 56, 108, 124)) AS is_bmp,
+            (n >= 8 AND substring(H, 1, 8) = '00000100'
+                    AND {ib(4)} + 256 * {ib(5)} >= 1) AS is_ico,
+            (n >= 4 AND substring(H, 1, 6) = 'FFD8FF') AS is_jpeg,
+            (n >= 8 AND substring(H, 1, 8)
+                        IN ('49492A00', '4D4D002A')) AS is_tiff
           FROM p
+        ),
+        -- JPEG: an actual marker walk (ITU-T T.81 B.2) as a recursive
+        -- CTE — advance pos by 2 + segment length until the first SOFn,
+        -- stopping at SOS/EOI or desync; an independent re-computation
+        -- of the Spark-side bounded scan (fixture streams carry no fill
+        -- bytes or pre-SOS standalone markers, so the simple advance
+        -- covers them exactly)
+        jwalk AS (
+          SELECT url, H, n, 2 AS pos, 0 AS it FROM m WHERE is_jpeg
+          UNION ALL
+          -- TRY_CAST everywhere a dynamic offset is cast: DuckDB does not
+          -- short-circuit AND, so a guard clause can't protect a sibling
+          -- cast from seeing a truncated substring
+          SELECT url, H, n,
+                 CAST(pos + 2 + COALESCE(TRY_CAST(
+                      '0x' || substring(H, 2*pos+5, 4) AS BIGINT), 0)
+                      AS INT),
+                 it + 1
+          FROM jwalk
+          WHERE it < 64 AND pos + 4 <= n
+            AND substring(H, 2*pos+1, 2) = 'FF'
+            AND substring(H, 2*pos+3, 2) NOT IN ('D9', 'DA', {_SOFS})
+            AND COALESCE(TRY_CAST(
+                '0x' || substring(H, 2*pos+5, 4) AS BIGINT), 0) >= 2
+        ),
+        jdims AS (
+          SELECT url,
+            min(TRY_CAST('0x' || substring(H, 2*pos+15, 4) AS BIGINT)) AS jw,
+            min(TRY_CAST('0x' || substring(H, 2*pos+11, 4) AS BIGINT)) AS jh
+          FROM jwalk
+          WHERE pos + 9 <= n
+            AND substring(H, 2*pos+1, 2) = 'FF'
+            AND substring(H, 2*pos+3, 2) IN ({_SOFS})
+            AND COALESCE(TRY_CAST(
+                '0x' || substring(H, 2*pos+5, 4) AS BIGINT), 0) >= 7
+          GROUP BY url
+        ),
+        -- TIFF: first-IFD walk, both byte orders, SHORT/LONG inline
+        -- values for tags 256/257 (width/length)
+        tbase AS (
+          SELECT url, H, n, substring(H, 1, 8) = '49492A00' AS le
+          FROM m WHERE is_tiff
+        ),
+        tifd AS (
+          SELECT url, H, n, le, {u32x('4')} AS ifd FROM tbase
+          WHERE n >= 8
+        ),
+        tent AS (
+          SELECT t.url,
+                 {u16x('ifd + 2 + 12*i.range')} AS tag,
+                 {u16x('ifd + 4 + 12*i.range')} AS typ,
+                 CASE WHEN {u16x('ifd + 4 + 12*i.range')} = 3
+                      THEN {u16x('ifd + 10 + 12*i.range')}
+                      ELSE {u32x('ifd + 10 + 12*i.range')} END AS val
+          FROM (SELECT *,
+                       CASE WHEN ifd + 2 <= n THEN {u16x('ifd')}
+                            ELSE 0 END AS cnt
+                FROM tifd) t
+          CROSS JOIN range(0, 4096) i
+          WHERE i.range < least(t.cnt, 4096)
+            AND t.ifd + 2 + 12*i.range + 12 <= t.n
+        ),
+        tdims AS (
+          SELECT url,
+            max(CASE WHEN tag = 256 THEN val END) AS tw,
+            max(CASE WHEN tag = 257 THEN val END) AS th
+          FROM tent GROUP BY url
         )
-        SELECT url,
+        SELECT m.url,
           CASE WHEN is_png THEN 'png' WHEN is_gif THEN 'gif'
-               WHEN is_vp8l THEN 'webp-vp8l' ELSE 'other' END AS img_kind,
+               WHEN is_vp8l THEN 'webp-vp8l'
+               WHEN is_vp8x THEN 'webp-vp8x'
+               WHEN is_jpeg THEN 'jpeg'
+               WHEN is_tiff THEN 'tiff'
+               WHEN is_bmp THEN 'bmp'
+               WHEN is_ico THEN 'ico' ELSE 'other' END AS img_kind,
           CAST(CASE
             WHEN is_png THEN ('0x' || substring(H, 33, 8))::BIGINT
             WHEN is_gif THEN {ib(6)} + 256 * {ib(7)}
             WHEN is_vp8l THEN 1 + {ib(21)} + 256 * ({ib(22)} % 64)
+            WHEN is_vp8x THEN 1 + {ib(24)} + 256 * {ib(25)}
+                              + 65536 * {ib(26)}
+            WHEN is_jpeg THEN jdims.jw
+            WHEN is_tiff THEN CASE WHEN tdims.th IS NOT NULL
+                                   THEN tdims.tw END
+            WHEN is_bmp THEN {ib(18)} + 256 * {ib(19)}
+                             + 65536 * {ib(20)} + 16777216 * {ib(21)}
+            WHEN is_ico THEN CASE WHEN {ib(6)} = 0 THEN 256
+                                  ELSE {ib(6)} END
           END AS INT) AS width,
           CAST(CASE
             WHEN is_png THEN ('0x' || substring(H, 41, 8))::BIGINT
             WHEN is_gif THEN {ib(8)} + 256 * {ib(9)}
             WHEN is_vp8l THEN 1 + ({ib(22)} // 64) + 4 * {ib(23)}
                               + 1024 * ({ib(24)} % 16)
+            WHEN is_vp8x THEN 1 + {ib(27)} + 256 * {ib(28)}
+                              + 65536 * {ib(29)}
+            WHEN is_jpeg THEN jdims.jh
+            WHEN is_tiff THEN CASE WHEN tdims.tw IS NOT NULL
+                                   THEN tdims.th END
+            WHEN is_bmp THEN CASE
+              WHEN {ib(22)} + 256*{ib(23)} + 65536*{ib(24)}
+                   + 16777216*{ib(25)} >= 2147483648
+              THEN 4294967296 - ({ib(22)} + 256*{ib(23)}
+                   + 65536*{ib(24)} + 16777216*{ib(25)})
+              ELSE {ib(22)} + 256*{ib(23)} + 65536*{ib(24)}
+                   + 16777216*{ib(25)} END
+            WHEN is_ico THEN CASE WHEN {ib(7)} = 0 THEN 256
+                                  ELSE {ib(7)} END
           END AS INT) AS height
-        FROM m ORDER BY url
+        FROM m
+        LEFT JOIN jdims ON m.url = jdims.url
+        LEFT JOIN tdims ON m.url = tdims.url
+        ORDER BY m.url
     """
     return o

@@ -124,6 +124,60 @@ def _webps() -> list:
     return out
 
 
+def _headers_only() -> list:
+    """Formats covered by the no-decode dimension gate but not by a codec:
+    hand-built headers with known dimensions (BMP both row orders, ICO
+    directory incl. the 0-means-256 rule, TIFF both byte orders and both
+    SHORT/LONG value types, extended VP8X WebP canvas). Payload bodies are
+    minimal/truncated on purpose — the gate must not need them, and the
+    feature path must take the digest fallback without a task failure."""
+    import struct
+
+    out = []
+
+    def bmp(w: int, h: int) -> bytes:
+        # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40); h < 0 = top-down
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 2835,
+                           2835, 0, 0)
+        body = b"\x00" * 12  # deliberately fewer than the pixel rows
+        return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+                + info + body)
+
+    out.append(("t-bmp", bmp(129, 47)))
+    out.append(("u-bmp-topdown", bmp(64, -33)))
+    # ICO: reserved=0, type=1, count=2; first dir entry wins the gate.
+    # width byte 0 means 256 (the classic ICO rule); entries point at a
+    # truncated payload
+    entry1 = struct.pack("<BBBBHHII", 0, 19, 0, 0, 1, 32, 16, 38)
+    entry2 = struct.pack("<BBBBHHII", 16, 16, 0, 0, 1, 32, 16, 54)
+    out.append(("v-ico", struct.pack("<HHH", 0, 1, 2) + entry1 + entry2
+                + b"\x00" * 16))
+
+    def tiff(le: bool, w, h) -> bytes:
+        # header + one IFD; w is SHORT-typed, h is LONG-typed (both
+        # inline). Entries sorted by tag per TIFF 6.0.
+        e = "<" if le else ">"
+        hdr = (b"II*\x00" if le else b"MM\x00*") + struct.pack(e + "I", 8)
+        entries = [
+            struct.pack(e + "HHIHH", 256, 3, 1, w, 0),
+            struct.pack(e + "HHII", 257, 4, 1, h),
+            struct.pack(e + "HHII", 259, 3, 1, 1),  # compression=none
+        ]
+        return (hdr + struct.pack(e + "H", len(entries))
+                + b"".join(entries) + struct.pack(e + "I", 0))
+
+    out.append(("w-tiff-le", tiff(True, 77, 3000)))
+    out.append(("x-tiff-be", tiff(False, 513, 21)))
+    # extended WebP: VP8X chunk with canvas width-1/height-1 as LE 24-bit
+    # (animation flag set; no frame chunks needed for the gate)
+    vp8x = struct.pack("<B3s", 0x02, b"\x00" * 3) + \
+        struct.pack("<I", 399)[:3] + struct.pack("<I", 259)[:3]
+    riff_body = b"WEBP" + b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    out.append(("y-vp8x-anim",
+                b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body))
+    return out
+
+
 def _feature_ints(payload: bytes, dim: int) -> str:
     from ..operators.multimodal import _fake_features, decode_image, pixel_features
 
@@ -186,6 +240,13 @@ def ensure_img_fixture(corpus_dir: str) -> str:
              for name, data in webps]
     rows.append(("https://fixtures.test/img/s-corrupt.webp",
                  webps[1][1][: len(webps[1][1]) // 2]))
+    # header-only formats for the no-decode dimension gate (BMP/ICO/TIFF/
+    # VP8X): dims come from fixed offsets or bounded header walks; the
+    # feature path takes the digest fallback for all of them
+    ext = {"t-bmp": "bmp", "u-bmp-topdown": "bmp", "v-ico": "ico",
+           "w-tiff-le": "tif", "x-tiff-be": "tif", "y-vp8x-anim": "webp"}
+    rows += [(f"https://fixtures.test/img/{name}.{ext[name]}", data)
+             for name, data in _headers_only()]
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(p: str, tbl: pa.Table) -> None:

@@ -529,9 +529,24 @@ class TestImageDimensions:
         df = spark.read.parquet(path)
         got = {r.url: r for r in
                image_dimensions(df, bin_col="payload").collect()}
+        # header-only fixture rows have no decoder; their expected dims
+        # are the ones the fixture builder wrote into the headers
+        header_only = {
+            "t-bmp": ("bmp", 129, 47),
+            "u-bmp-topdown": ("bmp", 64, 33),   # |negative| = top-down
+            "v-ico": ("ico", 256, 19),          # width byte 0 -> 256
+            "w-tiff-le": ("tiff", 77, 3000),
+            "x-tiff-be": ("tiff", 513, 21),
+            "y-vp8x-anim": ("webp-vp8x", 400, 260),
+        }
         n_checked = 0
         for url, payload in zip(media["url"], media["payload"]):
             r = got[url]
+            name = url.rsplit("/", 1)[1].rsplit(".", 1)[0]
+            if name in header_only:
+                assert (r.img_kind, r.width, r.height) == header_only[name], url
+                n_checked += 1
+                continue
             if r.img_kind == "other":
                 assert r.width is None and r.height is None, url
                 continue
@@ -545,10 +560,10 @@ class TestImageDimensions:
                 continue
             assert (r.width, r.height) == (w, h), (url, r)
             n_checked += 1
-        # every png + gif + vp8l row sniffs, INCLUDING the corrupt rows
-        # whose header survives truncation (a sniffing op reads headers,
-        # not streams); jpegs are 'other' (no fixed-offset dims)
-        assert n_checked >= 10
+        # every png + gif + vp8l + JPEG (baseline, 4:2:0+restart, gray,
+        # progressive) row sniffs and matches its real decoded shape,
+        # plus the six header-only rows checked against built dims
+        assert n_checked >= 20
 
     def test_corrupt_header_rows_are_other(self, spark):
         from pdf_parser_spark.kernels.webp import encode_webp_vp8l
@@ -561,16 +576,28 @@ class TestImageDimensions:
             ("png-7-bytes", bytearray(b"\x89PNG\r\n\x1a")),
             ("gif-9-bytes", bytearray(b"GIF89a\x05\x00\x05")),
             ("webp-under-header", bytearray(wp[:24])),
-            ("jpeg", bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 40)),
+            # JPEG sniffs by magic, but a zero-length segment means the
+            # marker walk desyncs -> kind 'jpeg' with NULL dims
+            ("jpeg-desync", bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 40)),
+            # SOS before any SOF: the walk must give up, not misread
+            ("jpeg-sos-first", bytearray(
+                b"\xff\xd8\xff\xda\x00\x04\x01\x00" + b"\x55" * 20)),
+            # SOF0 whose dims lie beyond the buffer end
+            ("jpeg-sof-truncated", bytearray(
+                b"\xff\xd8\xff\xc0\x00\x11\x08\x00")),
+            ("tiff-truncated-ifd", bytearray(b"II*\x00\x08\x00\x00\x00\x40")),
             ("null", None),
             ("wide-webp", bytearray(wp)),
         ]
         df = spark.createDataFrame(rows, "url string, payload binary")
         got = {r.url: r for r in
                image_dimensions(df, bin_col="payload").collect()}
-        for u in ("png-7-bytes", "gif-9-bytes", "webp-under-header",
-                  "jpeg", "null"):
+        for u in ("png-7-bytes", "gif-9-bytes", "webp-under-header", "null"):
             assert got[u].img_kind == "other" and got[u].width is None, u
+        for u in ("jpeg-desync", "jpeg-sos-first", "jpeg-sof-truncated"):
+            assert got[u].img_kind == "jpeg" and got[u].width is None, u
+        assert (got["tiff-truncated-ifd"].img_kind,
+                got["tiff-truncated-ifd"].width) == ("tiff", None)
         assert (got["wide-webp"].img_kind, got["wide-webp"].width,
                 got["wide-webp"].height) == ("webp-vp8l", 300, 3)
 
@@ -597,6 +624,26 @@ class TestImageDimensions:
         for w, h in [(70000, 1), (1, 70000), (300, 2)]:
             cases.append((f"png-{w}x{h}", "png", w, h,
                           encode_png(np.zeros((h, w), np.uint8))))
+        # JPEG 16-bit big-endian dims at the byte boundary, via every
+        # encoder mode (baseline 4:4:4, 4:2:0 with restart markers,
+        # progressive SOF2) — the sniffed dims must equal what
+        # decode_jpeg actually decodes to
+        from pdf_parser_spark.kernels.jpeg import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+        )
+
+        for w, h in [(256, 3), (255, 2), (1, 300)]:
+            g = np.zeros((h, w), np.uint8)
+            cases.append((f"jpeg-{w}x{h}", "jpeg", w, h, encode_jpeg(g)))
+        rgb = np.zeros((17, 257, 3), np.uint8)
+        cases.append(("jpeg-420-restart", "jpeg", 257, 17,
+                      encode_jpeg(rgb, subsample=(2, 2), restart_interval=1)))
+        cases.append(("jpeg-progressive", "jpeg", 257, 17,
+                      encode_jpeg_progressive(rgb)))
+        for name, k, w, h, data in cases:
+            if k == "jpeg":
+                got_shape = decode_jpeg(data).shape[:2]
+                assert got_shape == (h, w), (name, got_shape)
         df = spark.createDataFrame(
             [(name, bytearray(data)) for name, _k, _w, _h, data in cases],
             "url string, payload binary",
@@ -606,3 +653,53 @@ class TestImageDimensions:
         for name, k, w, h, _data in cases:
             r = got[name]
             assert (r.img_kind, r.width, r.height) == (k, w, h), (name, r)
+
+    def test_jpeg_sniffer_marker_walk_edges(self):
+        # pure-Python unit cases the fixture can't produce: fill bytes
+        # before markers, an APPn segment bigger than the dims offset,
+        # RST-standalone skipping, and SOF dims straddling the 64 KB
+        # prefix boundary
+        from pdf_parser_spark.operators.multimodal import (
+            jpeg_sniff_dimensions,
+        )
+
+        sof = b"\xff\xc0\x00\x11\x08\x01\x04\x02\x03" + b"\x00" * 10
+        # fill bytes (FF padding) before the SOF marker are legal
+        assert jpeg_sniff_dimensions(
+            b"\xff\xd8\xff\xff\xff" + sof[1:]) == (0x203, 0x104)
+        # a fat APP1 (EXIF-style) segment before SOF
+        app1 = b"\xff\xe1" + (1000 + 2).to_bytes(2, "big") + b"\x45" * 1000
+        assert jpeg_sniff_dimensions(
+            b"\xff\xd8" + app1 + sof) == (0x203, 0x104)
+        # standalone TEM/RST markers between segments are skipped
+        assert jpeg_sniff_dimensions(
+            b"\xff\xd8\xff\x01\xff\xd0" + sof) == (0x203, 0x104)
+        # SOF past the prefix end: None, never a crash
+        assert jpeg_sniff_dimensions(b"\xff\xd8" + app1[:500]) is None
+        assert jpeg_sniff_dimensions(b"") is None
+        assert jpeg_sniff_dimensions(b"\xff\xd8") is None
+
+    def test_tiff_sniffer_ifd_edges(self):
+        import struct
+
+        from pdf_parser_spark.operators.multimodal import (
+            tiff_sniff_dimensions,
+        )
+
+        # LONG-typed width + SHORT-typed height, big-endian, IFD not at 8
+        pad = b"\x77" * 6
+        entries = [
+            struct.pack(">HHII", 256, 4, 1, 70000),
+            struct.pack(">HHIHH", 257, 3, 1, 12, 0),
+        ]
+        tif = (b"MM\x00*" + struct.pack(">I", 8 + len(pad)) + pad
+               + struct.pack(">H", len(entries)) + b"".join(entries)
+               + struct.pack(">I", 0))
+        assert tiff_sniff_dimensions(tif) == (70000, 12)
+        # width tag without height tag -> None
+        only_w = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1)
+                  + struct.pack("<HHIHH", 256, 3, 1, 9, 0)
+                  + struct.pack("<I", 0))
+        assert tiff_sniff_dimensions(only_w) is None
+        assert tiff_sniff_dimensions(b"II*\x00\x08") is None
+        assert tiff_sniff_dimensions(b"not a tiff at all") is None
