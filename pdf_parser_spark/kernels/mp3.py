@@ -1,0 +1,210 @@
+"""From-scratch MPEG-audio (MP3) metadata parser — public spec only.
+
+Web-crawled audio is overwhelmingly MPEG audio (r4 VERDICT gap #2: audio
+coverage was WAV-only). This walks the container the way a 100 TB
+pipeline needs: skip an ID3v2 prefix (syncsafe size), find the first
+valid frame header, decode version/layer/bitrate/samplerate/channels
+from the header bit fields (ISO/IEC 11172-3 §2.4.1.3 tables, plus the
+MPEG-2/2.5 low-rate extensions), detect a Xing/Info or VBRI VBR header
+in the first frame for an exact frame count, and estimate duration —
+CBR from payload bytes at the header bitrate, VBR from the frame count.
+No audio decode, header arithmetic only.
+
+Reference parity: the reference engine has no audio path at all; this is
+part of the beyond-reference LLM-data-pipeline surface (SURVEY.md §2
+multimodal row). Layout conventions are anchored by tests against an
+independent fixture builder (`sources/mp3_fixture.py`) that assembles
+frames field-by-field from the spec tables.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+__all__ = ["MP3Error", "parse_mp3", "build_mp3_frame"]
+
+
+class MP3Error(ValueError):
+    pass
+
+
+# bitrate tables in kbps, indexed [version_group][layer][bitrate_index];
+# version_group 0 = MPEG1, 1 = MPEG2/2.5 (ISO/IEC 11172-3 table B.2 and
+# the 13818-3 low-sampling-frequency extension). Index 0 is 'free', 15
+# is forbidden.
+_BITRATES = {
+    (0, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+             416, 448],
+    (0, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384],
+    (0, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320],
+    (1, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256],
+    (1, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160],
+    (1, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160],
+}
+
+# sample rates indexed [version_bits][samplerate_index]; version_bits:
+# 0 = MPEG2.5, 2 = MPEG2, 3 = MPEG1 (1 is reserved)
+_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+_VERSION_NAME = {3: "1", 2: "2", 0: "2.5"}
+
+# samples per frame [layer][is_mpeg1]
+_SPF = {1: {True: 384, False: 384},
+        2: {True: 1152, False: 1152},
+        3: {True: 1152, False: 576}}
+
+
+def _id3v2_size(b: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 tag (0 when absent)."""
+    if len(b) < 10 or b[:3] != b"ID3":
+        return 0
+    if b[3] == 0xFF or b[4] == 0xFF:
+        return 0
+    size = 0
+    for k in range(6, 10):
+        if b[k] & 0x80:  # syncsafe bytes keep the high bit clear
+            return 0
+        size = (size << 7) | b[k]
+    footer = 10 if (b[5] & 0x10) else 0
+    return 10 + size + footer
+
+
+def _frame_header(b: bytes, pos: int) -> Optional[dict]:
+    """Decode the 4-byte frame header at pos; None if not a valid header."""
+    if pos + 4 > len(b):
+        return None
+    h0, h1, h2, h3 = b[pos], b[pos + 1], b[pos + 2], b[pos + 3]
+    if h0 != 0xFF or (h1 & 0xE0) != 0xE0:
+        return None
+    version_bits = (h1 >> 3) & 0x3
+    layer_bits = (h1 >> 1) & 0x3
+    if version_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits  # 3->L1, 2->L2, 1->L3
+    bitrate_idx = (h2 >> 4) & 0xF
+    rate_idx = (h2 >> 2) & 0x3
+    if bitrate_idx in (0, 15) or rate_idx == 3:
+        return None  # free-format/forbidden bitrate unsupported
+    vgroup = 0 if version_bits == 3 else 1
+    bitrate = _BITRATES[(vgroup, layer)][bitrate_idx]
+    rate = _RATES[version_bits][rate_idx]
+    padding = (h2 >> 1) & 0x1
+    mode = (h3 >> 6) & 0x3
+    mpeg1 = version_bits == 3
+    if layer == 1:
+        frame_len = (12 * bitrate * 1000 // rate + padding) * 4
+    else:
+        spf = _SPF[layer][mpeg1]
+        frame_len = spf // 8 * bitrate * 1000 // rate + padding
+    return {
+        "version_bits": version_bits,
+        "version": _VERSION_NAME[version_bits],
+        "layer": layer,
+        "bitrate_kbps": bitrate,
+        "sample_rate": rate,
+        "channels": 1 if mode == 3 else 2,
+        "mode": mode,
+        "padding": padding,
+        "frame_len": frame_len,
+        "spf": _SPF[layer][mpeg1],
+    }
+
+
+# Xing/Info offset past the 4-byte header = side-info size, which depends
+# on version and mono/stereo (Layer III only)
+def _xing_offset(version_bits: int, mode: int) -> int:
+    if version_bits == 3:  # MPEG1
+        return 4 + (17 if mode == 3 else 32)
+    return 4 + (9 if mode == 3 else 17)
+
+
+def _find_first_frame(b: bytes, start: int) -> Optional[int]:
+    """Scan (bounded) for a frame header followed by a consistent next
+    header or end-of-buffer — guards against 0xFF bytes in junk."""
+    end = min(len(b) - 4, start + 65536)
+    pos = start
+    while pos <= end:
+        hdr = _frame_header(b, pos)
+        if hdr is not None:
+            nxt = pos + hdr["frame_len"]
+            if nxt + 4 > len(b) or _frame_header(b, nxt) is not None:
+                return pos
+        pos += 1
+    return None
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """Typed MPEG-audio metadata: version, layer, bitrate, sample rate,
+    channels, VBR-ness, exact frame count when a Xing/VBRI header is
+    present, and a duration estimate. Raises MP3Error for non-MPEG data.
+    """
+    b = payload
+    off = _id3v2_size(b)
+    first = _find_first_frame(b, off)
+    if first is None:
+        raise MP3Error("no MPEG audio frame header found")
+    hdr = _frame_header(b, first)
+    # trailing ID3v1 tag is not audio data
+    tail = 128 if len(b) >= 128 and b[-128:-125] == b"TAG" else 0
+    audio_bytes = len(b) - first - tail
+
+    frame_count = None
+    vbr = False
+    xo = first + _xing_offset(hdr["version_bits"], hdr["mode"])
+    if hdr["layer"] == 3 and xo + 8 <= len(b) and b[xo:xo + 4] in (b"Xing", b"Info"):
+        flags = int.from_bytes(b[xo + 4:xo + 8], "big")
+        vbr = b[xo:xo + 4] == b"Xing"
+        if flags & 0x1 and xo + 12 <= len(b):
+            frame_count = int.from_bytes(b[xo + 8:xo + 12], "big")
+    elif first + 36 + 14 <= len(b) and b[first + 36:first + 40] == b"VBRI":
+        vbr = True
+        frame_count = int.from_bytes(b[first + 50:first + 54], "big")
+
+    if frame_count is not None:
+        duration_ms = round(frame_count * hdr["spf"] * 1000
+                            / hdr["sample_rate"])
+    else:
+        duration_ms = round(audio_bytes * 8 / (hdr["bitrate_kbps"] * 1000)
+                            * 1000)
+    return {
+        "mpeg_version": hdr["version"],
+        "layer": hdr["layer"],
+        "bitrate_kbps": hdr["bitrate_kbps"],
+        "sample_rate": hdr["sample_rate"],
+        "channels": hdr["channels"],
+        "vbr": vbr,
+        "frame_count": frame_count,
+        "duration_ms": duration_ms,
+    }
+
+
+def build_mp3_frame(version_bits: int, layer: int, bitrate_kbps: int,
+                    sample_rate: int, mode: int = 0,
+                    padding: int = 0, fill: int = 0x55) -> bytes:
+    """One complete frame with the requested header fields (kernel-side
+    builder used by operators/tests that need valid frames; the FIXTURE
+    uses its own independent builder)."""
+    vgroup = 0 if version_bits == 3 else 1
+    bidx = _BITRATES[(vgroup, layer)].index(bitrate_kbps)
+    ridx = _RATES[version_bits].index(sample_rate)
+    h1 = 0xE0 | (version_bits << 3) | ((4 - layer) << 1) | 1
+    h2 = (bidx << 4) | (ridx << 2) | (padding << 1)
+    h3 = mode << 6
+    hdr = bytes((0xFF, h1, h2, h3))
+    if layer == 1:
+        frame_len = (12 * bitrate_kbps * 1000 // sample_rate + padding) * 4
+    else:
+        spf = _SPF[layer][version_bits == 3]
+        frame_len = (spf // 8 * bitrate_kbps * 1000 // sample_rate
+                     + padding)
+    body: List[int] = [fill] * (frame_len - 4)
+    return hdr + bytes(body)
