@@ -1320,6 +1320,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return M.media_mp3_metadata(df, bin_col="payload").orderBy("url")
     q["media_mp3_metadata"] = media_mp3_metadata
 
+    def pipeline_curate_end2end(spark, sf_dir):
+        # the spark-submit curate job's EXACT composed plan (extract ->
+        # normalized exact-dedup -> min-token gate -> deterministic
+        # md5-threshold sample -> overlapping chunks), via the same
+        # build_curated_chunks the CLI main() calls — driver evidence for
+        # the production entry point, not a parallel reimplementation.
+        # jobs/ is a namespace package under the repo root (already on
+        # sys.path for this module).
+        from jobs.curate_job import build_curated_chunks
+
+        return build_curated_chunks(
+            spark, ensure_corpus(sf_dir), chunk_tokens=64, overlap=8,
+            min_tokens=10, sample_rate=0.55,
+        ).orderBy("url", "chunk_idx")
+    q["pipeline_curate_end2end"] = pipeline_curate_end2end
+
     return _rotate_verification_window(q)
 
 
@@ -1364,8 +1380,7 @@ _VERIFY_FIRST = [
     "media_audio_features", "media_wav_metadata",
     # new in round 5 (fills the window to exactly 50; uncommented as each
     # query lands):
-    "media_mp3_metadata",
-    # "pipeline_curate_end2end",
+    "media_mp3_metadata", "pipeline_curate_end2end",
 ]
 
 
@@ -2114,6 +2129,38 @@ def oracle_sql() -> dict[str, str]:
                  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
           FROM dd
           WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 10
+        ), c AS (
+          SELECT url, (s - 1) // 56 AS chunk_idx, toks[s : s + 63] AS chunk
+          FROM qual, UNNEST(range(1, greatest(len(toks) - 8, 1) + 1, 56)) AS t(s)
+        )
+        SELECT url, chunk_idx::INT AS chunk_idx,
+               COALESCE(array_to_string(chunk, ' '), '') AS chunk_text,
+               COALESCE(len(chunk), 0) AS n_tokens
+        FROM c ORDER BY url, chunk_idx
+    """
+    # the curate job's composition: same extract goldens, the NULL-coalesced
+    # normal form (sha256(coalesce(normalized, ''))), the md5-threshold
+    # sample at rate 0.55 keyed by url (md5_hash60 % 10000 < 5500), then
+    # the same 64/8 chunker arithmetic as pipeline_extract_dedup_chunk
+    o["pipeline_curate_end2end"] = f"""
+        WITH ok AS (
+          SELECT url, golden_text AS text FROM {goldens}
+          WHERE golden_text IS NOT NULL
+        ), fp AS (
+          SELECT url, text,
+                 substring(sha256(COALESCE(
+                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                   '')), 1, 16) AS f
+          FROM ok
+        ), dd AS (
+          SELECT url, text FROM fp
+          QUALIFY row_number() OVER (PARTITION BY f ORDER BY url) = 1
+        ), qual AS (
+          SELECT url,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+          FROM dd
+          WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 10
+            AND ('0x' || substring(md5(url), 1, 15))::BIGINT % 10000 < 5500
         ), c AS (
           SELECT url, (s - 1) // 56 AS chunk_idx, toks[s : s + 63] AS chunk
           FROM qual, UNNEST(range(1, greatest(len(toks) - 8, 1) + 1, 56)) AS t(s)
