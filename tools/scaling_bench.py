@@ -58,6 +58,13 @@ if plan_name == "lsh":
                 F.coalesce(F.col("text"), F.lit("")).alias("text"))
     )
     plan = minhash_lsh_pairs(docs, num_hashes=16, bands=8, max_bucket=50)
+elif plan_name == "repartition":
+    # the OPT-IN url-hash + mega-doc-spread exchange (r4 VERDICT item 7):
+    # what a genuinely unsplittable source (gzip WARC dump) pays — the
+    # full binary payload crosses the wire before the kernel runs
+    plan = extract_pipeline(
+        pages, repartition_partitions=parts
+    ).select("url", "status")
 else:
     plan = extract_pipeline(pages).select("url", "status")  # shuffle-free
 plan.count()  # cold run: worker fork + plan compile, excluded from timing
@@ -107,9 +114,12 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--trials", type=int, default=3,
                     help="fresh-JVM trials per level; best-of is reported")
-    ap.add_argument("--plan", choices=("extract", "lsh"), default="extract",
+    ap.add_argument("--plan", choices=("extract", "lsh", "repartition"),
+                    default="extract",
                     help="extract = shuffle-free kernel plan; lsh = "
-                         "shuffle-bearing MinHash-LSH dedup plan")
+                         "shuffle-bearing MinHash-LSH dedup plan; "
+                         "repartition = opt-in payload-exchange path for "
+                         "unsplittable sources")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
