@@ -2757,21 +2757,24 @@ def oracle_sql() -> dict[str, str]:
                WHEN is_tiff THEN 'tiff'
                WHEN is_bmp THEN 'bmp'
                WHEN is_ico THEN 'ico' ELSE 'other' END AS img_kind,
-          CAST(CASE
+          -- TRY_CAST mirrors the Spark side's try_cast: crafted headers
+          -- with dims past int32 yield NULL, not an error
+          TRY_CAST(CASE
             WHEN is_png THEN ('0x' || substring(H, 33, 8))::BIGINT
             WHEN is_gif THEN {ib(6)} + 256 * {ib(7)}
             WHEN is_vp8l THEN 1 + {ib(21)} + 256 * ({ib(22)} % 64)
             WHEN is_vp8x THEN 1 + {ib(24)} + 256 * {ib(25)}
                               + 65536 * {ib(26)}
             WHEN is_jpeg THEN jdims.jw
-            WHEN is_tiff THEN CASE WHEN tdims.th IS NOT NULL
-                                   THEN tdims.tw END
+            WHEN is_tiff THEN CASE
+              WHEN tdims.tw BETWEEN 1 AND 2147483647
+               AND tdims.th BETWEEN 1 AND 2147483647 THEN tdims.tw END
             WHEN is_bmp THEN {ib(18)} + 256 * {ib(19)}
                              + 65536 * {ib(20)} + 16777216 * {ib(21)}
             WHEN is_ico THEN CASE WHEN {ib(6)} = 0 THEN 256
                                   ELSE {ib(6)} END
           END AS INT) AS width,
-          CAST(CASE
+          TRY_CAST(CASE
             WHEN is_png THEN ('0x' || substring(H, 41, 8))::BIGINT
             WHEN is_gif THEN {ib(8)} + 256 * {ib(9)}
             WHEN is_vp8l THEN 1 + ({ib(22)} // 64) + 4 * {ib(23)}
@@ -2779,8 +2782,9 @@ def oracle_sql() -> dict[str, str]:
             WHEN is_vp8x THEN 1 + {ib(27)} + 256 * {ib(28)}
                               + 65536 * {ib(29)}
             WHEN is_jpeg THEN jdims.jh
-            WHEN is_tiff THEN CASE WHEN tdims.tw IS NOT NULL
-                                   THEN tdims.th END
+            WHEN is_tiff THEN CASE
+              WHEN tdims.tw BETWEEN 1 AND 2147483647
+               AND tdims.th BETWEEN 1 AND 2147483647 THEN tdims.th END
             WHEN is_bmp THEN CASE
               WHEN {ib(22)} + 256*{ib(23)} + 65536*{ib(24)}
                    + 16777216*{ib(25)} >= 2147483648

@@ -188,6 +188,12 @@ def _sniff_dims_batch(prefixes):
                 wh = jpeg_sniff_dimensions(p)
             else:
                 wh = tiff_sniff_dimensions(p)
+        # a crafted TIFF LONG can carry up to 2^32-1: out-of-int32-range
+        # or non-positive dims are invalid -> NULL, never a task failure
+        if wh is not None and not (
+            0 < wh[0] <= 0x7FFFFFFF and 0 < wh[1] <= 0x7FFFFFFF
+        ):
+            wh = None
         ws.append(None if wh is None else wh[0])
         hs.append(None if wh is None else wh[1])
     return pd.DataFrame({"w": pd.array(ws, dtype="Int32"),
@@ -288,11 +294,14 @@ def image_dimensions(
     )
     prefix = F.when(is_jpeg | is_tiff,
                     F.substring(col, 1, SNIFF_PREFIX_BYTES))
+    # try_cast, not cast: ANSI mode is on, and a crafted header (PNG/BMP
+    # width bytes at 2^31+) would otherwise kill the task with
+    # CAST_OVERFLOW — invalid dims must yield NULL, never a failure
     staged = df.select(
         F.col(key_col),
         kind.alias("img_kind"),
-        width.cast("int").alias("_w_fixed"),
-        height.cast("int").alias("_h_fixed"),
+        width.try_cast("int").alias("_w_fixed"),
+        height.try_cast("int").alias("_h_fixed"),
         sniff_udf(prefix).alias("_scan"),
     )
     return staged.select(

@@ -106,3 +106,31 @@ def test_webp_vp8l_lossless(h, w, n_colors, mode, seed):
         kw = {"subtract_green": True, "predictor": seed % 14,
               "cache_bits": 4, "use_lz77": True, "use_neighbor_codes": True}
     assert np.array_equal(decode_webp(encode_webp_vp8l(img, **kw)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(max_size=600),
+       prefix=st.sampled_from([b"", b"\xff\xd8\xff", b"II*\x00", b"MM\x00*",
+                               b"ID3", b"\xff\xfb"]))
+def test_header_parsers_never_crash_on_junk(data, prefix):
+    # robustness contract for every header-walk parser added in round 5:
+    # arbitrary bytes (with and without plausible magics) either parse or
+    # fail TYPED (MP3Error / None) — never an uncontrolled exception,
+    # which would become a task failure at scale
+    from pdf_parser_spark.kernels.mp3 import MP3Error, parse_mp3
+    from pdf_parser_spark.operators.multimodal import (
+        jpeg_sniff_dimensions, tiff_sniff_dimensions,
+    )
+
+    blob = prefix + data
+    try:
+        m = parse_mp3(blob)
+        assert m["sample_rate"] in (8000, 11025, 12000, 16000, 22050,
+                                    24000, 32000, 44100, 48000)
+    except MP3Error:
+        pass
+    for fn in (jpeg_sniff_dimensions, tiff_sniff_dimensions):
+        wh = fn(blob)
+        assert wh is None or (len(wh) == 2
+                              and all(v is None or 0 <= v <= 0xFFFFFFFF
+                                      for v in wh))

@@ -589,6 +589,23 @@ class TestImageDimensions:
             ("null", None),
             ("wide-webp", bytearray(wp)),
         ]
+        # adversarial headers with dims past int32: ANSI mode is on, so a
+        # plain cast would kill the task with CAST_OVERFLOW — these must
+        # come back as rows with NULL dims (found live in round 5)
+        import struct
+        info = struct.pack("<IIiHHIIiiII", 40, 0x90000000, 20, 1, 24,
+                           0, 0, 2835, 2835, 0, 0)
+        rows.append(("bmp-huge-width", bytearray(
+            b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info + b"\x00" * 12)))
+        rows.append(("png-huge-width", bytearray(
+            b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"
+            + b"\xff\xff\xff\xff\x00\x00\x00\x05\x08\x00\x00\x00\x00"
+            + b"\x00" * 8)))
+        tif_huge = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 2)
+                    + struct.pack("<HHII", 256, 4, 1, 0xFFFFFFFE)
+                    + struct.pack("<HHIHH", 257, 3, 1, 5, 0)
+                    + struct.pack("<I", 0))
+        rows.append(("tiff-huge-width", bytearray(tif_huge)))
         df = spark.createDataFrame(rows, "url string, payload binary")
         got = {r.url: r for r in
                image_dimensions(df, bin_col="payload").collect()}
@@ -600,6 +617,13 @@ class TestImageDimensions:
                 got["tiff-truncated-ifd"].width) == ("tiff", None)
         assert (got["wide-webp"].img_kind, got["wide-webp"].width,
                 got["wide-webp"].height) == ("webp-vp8l", 300, 3)
+        assert (got["bmp-huge-width"].img_kind,
+                got["bmp-huge-width"].width) == ("bmp", None)
+        assert (got["png-huge-width"].img_kind,
+                got["png-huge-width"].width) == ("png", None)
+        assert (got["tiff-huge-width"].img_kind,
+                got["tiff-huge-width"].width,
+                got["tiff-huge-width"].height) == ("tiff", None, None)
 
     def test_boundary_dims_differential_vs_encoders(self, spark):
         # field-boundary crossings where an offset/packing mistake flips
