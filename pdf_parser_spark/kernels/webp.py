@@ -28,6 +28,8 @@ import numpy as np
 __all__ = [
     "WebPError",
     "decode_webp",
+    "decode_webp_frames",
+    "parse_webp_container",
     "decode_vp8l",
     "encode_webp_vp8l",
     "encode_vp8l",
@@ -644,9 +646,148 @@ def _vp8l_chunk(data: bytes) -> bytes:
     raise WebPError("no VP8L chunk (lossy VP8 WebP is out of scope)")
 
 
+def _le24(b: bytes, o: int) -> int:
+    return b[o] | (b[o + 1] << 8) | (b[o + 2] << 16)
+
+
+def parse_webp_container(data: bytes) -> dict:
+    """Structural walk of a WebP container (no pixel decode).
+
+    Simple files report the VP8L/VP8 stream; extended (VP8X) files report
+    canvas size, feature flags, the ANIM background/loop fields, and every
+    ANMF frame's placement rectangle, duration, blend/dispose flags, and
+    embedded bitstream. Raises WebPError for non-WebP payloads.
+    """
+    if len(data) < 12 or data[:4] != RIFF_MAGIC or data[8:12] != WEBP_FOURCC:
+        raise WebPError("not a RIFF/WEBP container")
+    out: dict = {"kind": None, "canvas_w": None, "canvas_h": None,
+                 "flags": {}, "background_bgra": None, "loop_count": None,
+                 "frames": [], "stream": None, "stream_fourcc": None}
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = data[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise WebPError("truncated chunk")
+        if fourcc in (b"VP8L", b"VP8 ") and out["kind"] is None:
+            out["kind"] = "simple"
+            out["stream"], out["stream_fourcc"] = body, fourcc.strip().decode()
+        elif fourcc == b"VP8X":
+            if size < 10:
+                raise WebPError("short VP8X chunk")
+            out["kind"] = "extended"
+            fl = body[0]
+            out["flags"] = {"icc": bool(fl & 0x20), "alpha": bool(fl & 0x10),
+                            "exif": bool(fl & 0x08), "xmp": bool(fl & 0x04),
+                            "animation": bool(fl & 0x02)}
+            out["canvas_w"] = 1 + _le24(body, 4)
+            out["canvas_h"] = 1 + _le24(body, 7)
+        elif fourcc == b"ANIM":
+            if size < 6:
+                raise WebPError("short ANIM chunk")
+            out["background_bgra"] = int.from_bytes(body[0:4], "little")
+            out["loop_count"] = int.from_bytes(body[4:6], "little")
+        elif fourcc == b"ANMF":
+            if size < 16:
+                raise WebPError("short ANMF chunk")
+            frame = {
+                # x/y are stored in 2-pixel units (spec)
+                "x": 2 * _le24(body, 0), "y": 2 * _le24(body, 3),
+                "w": 1 + _le24(body, 6), "h": 1 + _le24(body, 9),
+                "duration_ms": _le24(body, 12),
+                # last header byte: 6 reserved bits, B (1 = do NOT
+                # blend), D (1 = dispose to background color)
+                "no_blend": bool(body[15] & 0x02),
+                "dispose_bg": bool(body[15] & 0x01),
+                "fourcc": None, "stream": None,
+            }
+            # frame data: optional ALPH, then VP8/VP8L sub-chunk
+            fp = 16
+            while fp + 8 <= size:
+                sub = body[fp:fp + 4]
+                ssz = int.from_bytes(body[fp + 4:fp + 8], "little")
+                if sub in (b"VP8L", b"VP8 "):
+                    frame["fourcc"] = sub.strip().decode()
+                    frame["stream"] = body[fp + 8:fp + 8 + ssz]
+                    break
+                fp += 8 + ssz + (ssz & 1)
+            out["frames"].append(frame)
+        pos += 8 + size + (size & 1)
+    if out["kind"] is None:
+        raise WebPError("no VP8L chunk (lossy VP8 WebP is out of scope)")
+    return out
+
+
+def _blend_rect(canvas: np.ndarray, frame: np.ndarray, x: int, y: int) -> None:
+    """Alpha-blend `frame` onto canvas at (x, y) per the spec's formula
+    (real-number math, rounded half away from zero — exact whenever the
+    inputs make the formula integral, which every anchor test does)."""
+    h, w = frame.shape[:2]
+    dst = canvas[y:y + h, x:x + w].astype(np.float64)
+    src = frame.astype(np.float64)
+    sa = src[..., 3:4] / 255.0
+    da = dst[..., 3:4] / 255.0
+    oa = sa + da * (1.0 - sa)
+    rgb = np.zeros_like(src[..., :3])
+    nz = oa[..., 0] > 0
+    rgb[nz] = (src[..., :3][nz] * sa[nz] + dst[..., :3][nz] * da[nz]
+               * (1.0 - sa[nz])) / oa[nz]
+    out = np.concatenate([rgb, oa * 255.0], axis=2)
+    canvas[y:y + h, x:x + w] = np.floor(out + 0.5).astype(np.uint8)
+
+
+def decode_webp_frames(data: bytes) -> List[np.ndarray]:
+    """Composited RGBA frames of a WebP file.
+
+    Simple VP8L files yield one frame. Extended animated files walk the
+    ANMF sequence over the VP8X canvas (initially transparent black):
+    each frame's VP8L tile is placed at its 2-pixel-aligned offset,
+    alpha-blended or overwritten per its B flag, the composited canvas is
+    emitted, then the frame rectangle is optionally filled with the ANIM
+    background color (D flag, spec semantics). Lossy VP8 frames raise
+    the documented typed error — the digest fallback handles them.
+    """
+    info = parse_webp_container(data)
+    if info["kind"] == "simple":
+        if info["stream_fourcc"] != "VP8L":
+            raise WebPError("lossy VP8 WebP is out of scope")
+        return [decode_vp8l(info["stream"])]
+    if not info["frames"]:
+        # extended but not animated: single image sub-chunk at top level
+        raise WebPError("VP8X container without ANMF frames or VP8L chunk")
+    cw, ch = info["canvas_w"], info["canvas_h"]
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+    bg = info["background_bgra"] or 0
+    bg_rgba = np.array([(bg >> 16) & 0xFF, (bg >> 8) & 0xFF, bg & 0xFF,
+                        (bg >> 24) & 0xFF], dtype=np.uint8)
+    out = []
+    for f in info["frames"]:
+        if f["fourcc"] != "VP8L":
+            raise WebPError("lossy VP8 frame is out of scope")
+        tile = decode_vp8l(f["stream"])
+        if tile.shape[:2] != (f["h"], f["w"]):
+            raise WebPError("ANMF frame size disagrees with its stream")
+        x, y = f["x"], f["y"]
+        if x + f["w"] > cw or y + f["h"] > ch:
+            raise WebPError("ANMF frame exceeds the canvas")
+        if f["no_blend"]:
+            canvas[y:y + f["h"], x:x + f["w"]] = tile
+        else:
+            _blend_rect(canvas, tile, x, y)
+        out.append(canvas.copy())
+        if f["dispose_bg"]:
+            canvas[y:y + f["h"], x:x + f["w"]] = bg_rgba
+    return out
+
+
 def decode_webp(data: bytes) -> np.ndarray:
-    """Decode a WebP container holding a VP8L (lossless) stream."""
-    return decode_vp8l(_vp8l_chunk(data))
+    """Decode a WebP container to pixels: the VP8L stream of a simple
+    file, or the FIRST composited frame of an extended/animated file."""
+    try:
+        return decode_vp8l(_vp8l_chunk(data))
+    except WebPError:
+        return decode_webp_frames(data)[0]
 
 
 def webp_dimensions(data: bytes) -> Tuple[int, int]:

@@ -825,6 +825,16 @@ def frame_feature_rows(
             frames = decode_video_frames(payload)
         except Exception:
             frames = None  # non-MJPEG codec / corrupt mdat -> fallback
+    elif (real_decode and payload[:4] == b"RIFF"
+          and payload[8:12] == b"WEBP"):
+        from ..kernels.webp import decode_webp_frames
+
+        try:
+            # animated (VP8X+ANMF) WebPs composite per-frame like GIFs;
+            # simple VP8L files yield their single frame
+            frames = decode_webp_frames(payload)
+        except Exception:
+            frames = None  # lossy VP8 / corrupt stream -> digest fallback
     if frames:
         return [
             [float(x) for x in pixel_features(

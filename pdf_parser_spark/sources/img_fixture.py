@@ -124,6 +124,50 @@ def _webps() -> list:
     return out
 
 
+def _webp_anim() -> bytes:
+    """A real animated WebP (VP8X + ANIM + ANMF×3) assembled chunk-by-
+    chunk HERE (independent of the kernel's container parser — the
+    differential-anchor rule); only the per-frame VP8L pixel streams come
+    from the kernel encoder, whose conventions the spec anchors in
+    tests/test_webp.py pin. Frame 2 is a 2-pixel-aligned offset patch,
+    frame 3 disposes to the ANIM background first."""
+    import struct
+
+    from ..kernels.webp import encode_vp8l
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def anmf(x, y, img, dur, no_blend=True, dispose_bg=False):
+        h, w = img.shape[:2]
+        hdr = ((x // 2).to_bytes(3, "little")
+               + (y // 2).to_bytes(3, "little")
+               + (w - 1).to_bytes(3, "little")
+               + (h - 1).to_bytes(3, "little") + dur.to_bytes(3, "little")
+               + bytes(((2 if no_blend else 0) | (1 if dispose_bg else 0),)))
+        return chunk(b"ANMF", hdr + chunk(b"VP8L", encode_vp8l(img)))
+
+    yy, xx = np.indices((10, 14))
+    base = np.stack([(yy * 9 + 30) % 251, (xx * 13 + 5) % 251,
+                     ((yy + xx) * 7) % 251, np.full_like(yy, 255)],
+                    axis=2).astype(np.uint8)
+    patch = np.stack([np.full((4, 6), 200), np.full((4, 6), 40),
+                      np.full((4, 6), 90), np.full((4, 6), 255)],
+                     axis=2).astype(np.uint8)
+    last = ((base.astype(np.int32) + 101) % 251).astype(np.uint8)
+    last[..., 3] = 255
+    vp8x = chunk(b"VP8X", bytes((0x02, 0, 0, 0))
+                 + (14 - 1).to_bytes(3, "little")
+                 + (10 - 1).to_bytes(3, "little"))
+    anim = chunk(b"ANIM", struct.pack("<IH", 0xFF204060, 0))
+    body = (b"WEBP" + vp8x + anim
+            + anmf(0, 0, base, 100, dispose_bg=True)
+            + anmf(4, 2, patch, 60)
+            + anmf(0, 0, last, 80))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _headers_only() -> list:
     """Formats covered by the no-decode dimension gate but not by a codec:
     hand-built headers with known dimensions (BMP both row orders, ICO
@@ -247,6 +291,10 @@ def ensure_img_fixture(corpus_dir: str) -> str:
            "w-tiff-le": "tif", "x-tiff-be": "tif", "y-vp8x-anim": "webp"}
     rows += [(f"https://fixtures.test/img/{name}.{ext[name]}", data)
              for name, data in _headers_only()]
+    # a REAL animated WebP: VP8X canvas + 3 composited ANMF frames
+    # (offset patch, dispose-to-background) — decodes for real through
+    # decode_webp_frames; frame goldens sample its composited frames
+    rows.append(("https://fixtures.test/img/z-anim.webp", _webp_anim()))
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(p: str, tbl: pa.Table) -> None:

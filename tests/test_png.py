@@ -158,7 +158,7 @@ class TestImgFixture:
         goldens = pq.read_table(
             p1.replace("media.parquet", "media_goldens.parquet")
         ).to_pydict()
-        assert media["url"] == goldens["url"] and len(media["url"]) == 25
+        assert media["url"] == goldens["url"] and len(media["url"]) == 26
         # every golden row re-derives from the kernel functions; PNG rows
         # must be REAL pixel features (differ from the digest fallback)
         n_real = 0
@@ -174,7 +174,8 @@ class TestImgFixture:
                 str(math.floor(float(f) * 1_000_000)) for f in feats
             )
             assert got == want, url
-        # 5 PNGs + 4 JPEGs (incl. progressive) + 2 GIFs + 3 WebPs decode
-        # for real; the corrupt png/gif/webp rows and the 6 header-only
-        # dimension-gate rows (bmp/ico/tiff/vp8x) fall to digest features
-        assert n_real == 14
+        # 5 PNGs + 4 JPEGs (incl. progressive) + 2 GIFs + 3 WebPs + the
+        # animated VP8X WebP decode for real; the corrupt png/gif/webp
+        # rows and the 6 header-only dimension-gate rows (bmp/ico/tiff/
+        # vp8x-header-only) fall to digest features
+        assert n_real == 15

@@ -438,3 +438,142 @@ class TestErrors:
             + b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
         with pytest.raises(WebPError, match="lossy"):
             decode_webp(data)
+
+
+# ---------------------------------------------------------------------------
+# animated / extended (VP8X + ANIM + ANMF) container — round 5
+# ---------------------------------------------------------------------------
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+
+def _webp_file(*chunks: bytes) -> bytes:
+    body = b"WEBP" + b"".join(chunks)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _vp8x(w: int, h: int, flags: int = 0x02) -> bytes:
+    return _chunk(b"VP8X", bytes((flags, 0, 0, 0))
+                  + (w - 1).to_bytes(3, "little")
+                  + (h - 1).to_bytes(3, "little"))
+
+
+def _anim(bg_bgra: int = 0, loops: int = 0) -> bytes:
+    return _chunk(b"ANIM", bg_bgra.to_bytes(4, "little")
+                  + loops.to_bytes(2, "little"))
+
+
+def _anmf(x: int, y: int, img, dur: int = 40, no_blend: bool = True,
+          dispose_bg: bool = False, fourcc: bytes = b"VP8L") -> bytes:
+    from pdf_parser_spark.kernels.webp import encode_vp8l
+
+    h, w = img.shape[:2]
+    stream = encode_vp8l(img) if fourcc == b"VP8L" else b"\x00lossy"
+    hdr = ((x // 2).to_bytes(3, "little") + (y // 2).to_bytes(3, "little")
+           + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+           + dur.to_bytes(3, "little")
+           + bytes(((0x02 if no_blend else 0) | (0x01 if dispose_bg else 0),)))
+    return _chunk(b"ANMF", hdr + _chunk(fourcc, stream))
+
+
+def _solid(h, w, rgba):
+    return np.tile(np.array(rgba, np.uint8), (h, w, 1))
+
+
+class TestAnimatedWebP:
+    """Container conventions anchored by files assembled field-by-field
+    IN THIS FILE (chunk sizes, 2-pixel frame offsets, minus-one canvas
+    fields, B/D flag bits, ANIM BGRA background) — only the embedded
+    VP8L pixel streams come from the kernel encoder, whose pixel
+    conventions the spec anchors above already pin."""
+
+    def test_parse_container_fields(self):
+        from pdf_parser_spark.kernels.webp import parse_webp_container
+
+        f1 = _solid(6, 8, (1, 2, 3, 255))
+        data = _webp_file(_vp8x(8, 6), _anim(bg_bgra=0xFF112233, loops=3),
+                          _anmf(0, 0, f1, dur=120),
+                          _anmf(2, 2, _solid(2, 4, (9, 9, 9, 255)), dur=80))
+        info = parse_webp_container(data)
+        assert (info["kind"], info["canvas_w"], info["canvas_h"]) == \
+            ("extended", 8, 6)
+        assert info["flags"]["animation"] and not info["flags"]["alpha"]
+        assert (info["background_bgra"], info["loop_count"]) == (0xFF112233, 3)
+        assert [(f["x"], f["y"], f["w"], f["h"], f["duration_ms"])
+                for f in info["frames"]] == [(0, 0, 8, 6, 120), (2, 2, 4, 2, 80)]
+
+    def test_two_full_frames_overwrite(self):
+        from pdf_parser_spark.kernels.webp import decode_webp_frames
+
+        f1 = _solid(4, 6, (10, 20, 30, 255))
+        f2 = _solid(4, 6, (40, 50, 60, 255))
+        frames = decode_webp_frames(_webp_file(
+            _vp8x(6, 4), _anim(), _anmf(0, 0, f1), _anmf(0, 0, f2)))
+        assert len(frames) == 2
+        assert np.array_equal(frames[0], f1)
+        assert np.array_equal(frames[1], f2)
+
+    def test_patch_frame_at_offset(self):
+        from pdf_parser_spark.kernels.webp import decode_webp, decode_webp_frames
+
+        base = _solid(6, 8, (100, 110, 120, 255))
+        patch = _solid(2, 4, (7, 8, 9, 255))
+        data = _webp_file(_vp8x(8, 6), _anim(),
+                          _anmf(0, 0, base), _anmf(2, 2, patch))
+        frames = decode_webp_frames(data)
+        want = base.copy()
+        want[2:4, 2:6] = patch
+        assert np.array_equal(frames[1], want)
+        # decode_webp on an animated file = first composited frame
+        assert np.array_equal(decode_webp(data), base)
+
+    def test_dispose_to_background(self):
+        from pdf_parser_spark.kernels.webp import decode_webp_frames
+
+        # bg BGRA 0xFF552211 -> RGBA (0x22, 0x55, 0x11, 0xFF)... BGRA
+        # little-endian field order: B=0x11 G=0x22 R=0x55 A=0xFF
+        bg = 0xFF552211
+        f1 = _solid(4, 4, (1, 1, 1, 255))
+        patch = _solid(2, 2, (9, 9, 9, 255))
+        frames = decode_webp_frames(_webp_file(
+            _vp8x(4, 4), _anim(bg_bgra=bg),
+            _anmf(0, 0, f1, dispose_bg=True), _anmf(0, 0, patch)))
+        want = np.tile(np.array((0x55, 0x22, 0x11, 0xFF), np.uint8), (4, 4, 1))
+        want[0:2, 0:2] = patch
+        assert np.array_equal(frames[1], want)
+
+    def test_alpha_blend_exact(self):
+        from pdf_parser_spark.kernels.webp import decode_webp_frames
+
+        # alpha 51 over opaque: out = 0.2*src + 0.8*dst, exact integers
+        dst = _solid(2, 2, (200, 100, 50, 255))
+        src = _solid(2, 2, (10, 60, 110, 51))
+        frames = decode_webp_frames(_webp_file(
+            _vp8x(2, 2), _anim(),
+            _anmf(0, 0, dst), _anmf(0, 0, src, no_blend=False)))
+        assert frames[1][0, 0].tolist() == [162, 92, 62, 255]
+
+    def test_lossy_frame_raises_typed(self):
+        from pdf_parser_spark.kernels.webp import WebPError, decode_webp_frames
+
+        f1 = _solid(2, 2, (1, 2, 3, 255))
+        data = _webp_file(_vp8x(2, 2), _anim(),
+                          _anmf(0, 0, f1, fourcc=b"VP8 "))
+        with pytest.raises(WebPError):
+            decode_webp_frames(data)
+
+    def test_frame_exceeding_canvas_raises(self):
+        from pdf_parser_spark.kernels.webp import WebPError, decode_webp_frames
+
+        with pytest.raises(WebPError):
+            decode_webp_frames(_webp_file(
+                _vp8x(4, 4), _anim(),
+                _anmf(2, 2, _solid(4, 4, (1, 1, 1, 255)))))
+
+    def test_vp8x_header_only_raises_typed(self):
+        from pdf_parser_spark.kernels.webp import WebPError, decode_webp_frames
+
+        with pytest.raises(WebPError):
+            decode_webp_frames(_webp_file(_vp8x(400, 260)))
