@@ -2893,8 +2893,63 @@ def oracle_sql() -> dict[str, str]:
               THEN substring(H, CAST(2*xo+1 AS INT), 8) = '58696E67'
               WHEN has_vbri THEN TRUE ELSE FALSE END AS is_vbr
           FROM v
+        ),
+        -- ID3v2 text frames: a generic walk of the first two frames
+        -- (frame 1 header at bytes 10-19, body at 20; frame 2 follows),
+        -- v2.3 big-endian vs v2.4 syncsafe frame sizes, latin-1/utf-8
+        -- text re-derived with decode(unhex(...)) — covers any canonical
+        -- two-frame tag, not just these fixture rows
+        t1 AS (
+          SELECT url, H,
+            CASE WHEN substring(H, 1, 6) = '494433'
+                 THEN {ib(3)} END AS ver
+          FROM p
+        ),
+        t2 AS (
+          SELECT url, H, ver,
+            CASE WHEN ver IS NOT NULL THEN
+              CASE WHEN ver >= 4
+                   THEN 2097152*{ib(14)} + 16384*{ib(15)}
+                        + 128*{ib(16)} + {ib(17)}
+                   ELSE 16777216*{ib(14)} + 65536*{ib(15)}
+                        + 256*{ib(16)} + {ib(17)} END
+            END AS fsz1
+          FROM t1
+        ),
+        t3 AS (
+          SELECT url, H, ver, fsz1, 20 + fsz1 AS f2,
+            CASE WHEN ver IS NOT NULL AND fsz1 > 0
+                 THEN decode(unhex(substring(H, 21, 8))) END AS id1,
+            CASE WHEN ver IS NOT NULL AND fsz1 > 1 AND {ib(20)} IN (0, 3)
+                 THEN decode(unhex(substring(
+                      H, 43, CAST(2*(fsz1 - 1) AS INT)))) END AS txt1
+          FROM t2
+        ),
+        t4 AS (
+          SELECT url, id1, txt1,
+            CASE WHEN id1 IS NOT NULL
+                 THEN decode(unhex(substring(
+                      H, CAST(2*f2+1 AS INT), 8))) END AS id2,
+            CASE WHEN id1 IS NOT NULL THEN
+              CASE WHEN ver >= 4
+                   THEN 2097152*{ibx('f2+4')} + 16384*{ibx('f2+5')}
+                        + 128*{ibx('f2+6')} + {ibx('f2+7')}
+                   ELSE 16777216*{ibx('f2+4')} + 65536*{ibx('f2+5')}
+                        + 256*{ibx('f2+6')} + {ibx('f2+7')} END
+            END AS fsz2,
+            f2, H, ver
+          FROM t3
+        ),
+        tags AS (
+          SELECT url, id1, txt1, id2,
+            CASE WHEN id2 IS NOT NULL AND fsz2 > 1
+                  AND {ibx('f2+10')} IN (0, 3)
+                 THEN decode(unhex(substring(
+                      H, CAST(2*(f2+11)+1 AS INT),
+                      CAST(2*(fsz2 - 1) AS INT)))) END AS txt2
+          FROM t4
         )
-        SELECT url,
+        SELECT w.url,
           CASE WHEN ok THEN 'mp3' ELSE 'unknown' END AS media_kind,
           CASE WHEN ok THEN CASE vb WHEN 3 THEN '1' WHEN 2 THEN '2'
                             ELSE '2.5' END END AS mpeg_version,
@@ -2910,7 +2965,15 @@ def oracle_sql() -> dict[str, str]:
                  THEN CAST(round(frames * spf * 1000.0 / rate) AS BIGINT)
                  ELSE CAST(round((n - off - tag) * 8000.0 / (br * 1000))
                       AS BIGINT)
-            END END AS BIGINT) AS duration_ms
-        FROM w ORDER BY url
+            END END AS BIGINT) AS duration_ms,
+          CASE WHEN ok THEN
+            CASE WHEN tags.id1 = 'TIT2' THEN tags.txt1
+                 WHEN tags.id2 = 'TIT2' THEN tags.txt2 END
+          END AS title,
+          CASE WHEN ok THEN
+            CASE WHEN tags.id1 = 'TPE1' THEN tags.txt1
+                 WHEN tags.id2 = 'TPE1' THEN tags.txt2 END
+          END AS artist
+        FROM w LEFT JOIN tags ON w.url = tags.url ORDER BY w.url
     """
     return o

@@ -21,7 +21,8 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-__all__ = ["MP3Error", "parse_mp3", "build_mp3_frame"]
+__all__ = ["MP3Error", "parse_mp3", "parse_id3v2_text_frames",
+           "build_mp3_frame"]
 
 
 class MP3Error(ValueError):
@@ -76,6 +77,53 @@ def _id3v2_size(b: bytes) -> int:
         size = (size << 7) | b[k]
     footer = 10 if (b[5] & 0x10) else 0
     return 10 + size + footer
+
+
+_TEXT_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def parse_id3v2_text_frames(b: bytes) -> dict:
+    """Text frames ({'TIT2': title, ...}) from a leading ID3v2 tag.
+
+    Walks v2.3 (plain big-endian frame sizes) and v2.4 (syncsafe frame
+    sizes) frame lists, decoding T*** text frames per their encoding
+    byte (latin-1 / utf-16 with BOM / utf-16-be / utf-8) and stopping at
+    zero padding. TXXX (user-defined) frames are skipped — their body is
+    a description/value pair, not a plain string. Returns {} when no tag
+    or no text frames are present; never raises on malformed tags.
+    """
+    total = _id3v2_size(b)
+    if total == 0 or len(b) < 10:
+        return {}
+    version = b[3]
+    area = b[10:total - (10 if (b[5] & 0x10) else 0)]
+    frames: dict = {}
+    pos = 0
+    while pos + 10 <= len(area):
+        fid = area[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        raw = area[pos + 4:pos + 8]
+        if version >= 4:
+            if any(x & 0x80 for x in raw):
+                break  # invalid syncsafe size: stop, don't guess
+            fsz = (raw[0] << 21) | (raw[1] << 14) | (raw[2] << 7) | raw[3]
+        else:
+            fsz = int.from_bytes(raw, "big")
+        body = area[pos + 10:pos + 10 + fsz]
+        if len(body) < fsz:
+            break  # truncated frame
+        if fid[:1] == b"T" and fid != b"TXXX" and len(body) >= 1:
+            codec = _TEXT_ENCODINGS.get(body[0])
+            if codec is not None:
+                try:
+                    frames[fid.decode("ascii")] = (
+                        body[1:].decode(codec, "replace").rstrip("\x00")
+                    )
+                except (UnicodeDecodeError, ValueError):
+                    pass
+        pos += 10 + fsz
+    return frames
 
 
 def _frame_header(b: bytes, pos: int) -> Optional[dict]:
@@ -175,6 +223,7 @@ def parse_mp3(payload: bytes) -> dict:
     else:
         duration_ms = round(audio_bytes * 8 / (hdr["bitrate_kbps"] * 1000)
                             * 1000)
+    tags = parse_id3v2_text_frames(b)
     return {
         "mpeg_version": hdr["version"],
         "layer": hdr["layer"],
@@ -184,6 +233,8 @@ def parse_mp3(payload: bytes) -> dict:
         "vbr": vbr,
         "frame_count": frame_count,
         "duration_ms": duration_ms,
+        "title": tags.get("TIT2"),
+        "artist": tags.get("TPE1"),
     }
 
 

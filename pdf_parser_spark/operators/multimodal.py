@@ -497,6 +497,8 @@ MP3_SCHEMA = StructType([
     StructField("vbr", BooleanType()),
     StructField("frame_count", LongType()),
     StructField("duration_ms", LongType()),
+    StructField("title", StringType()),
+    StructField("artist", StringType()),
 ])
 
 

@@ -65,7 +65,14 @@ def _with_header_payload(frame: bytes, at: int, blob: bytes) -> bytes:
 def _rows() -> list:
     rows = []
     rows.append(("a-cbr-mpeg1-48k", _frame(3, 3, 192, 48000, 0, 0x11) * 25))
-    id3 = b"ID3" + bytes((3, 0, 0)) + bytes((0, 0, 0, 117)) + b"\x00" * 117
+    # v2.3 tag (plain big-endian frame sizes, latin-1 text): TIT2 + TPE1
+    # + zero padding to a 117-byte content area (total tag 127 bytes)
+    t1 = b"\x00" + b"Deterministic Title"
+    t2 = b"\x00" + b"Fixture Artist"
+    frames23 = (b"TIT2" + len(t1).to_bytes(4, "big") + b"\x00\x00" + t1
+                + b"TPE1" + len(t2).to_bytes(4, "big") + b"\x00\x00" + t2)
+    id3 = (b"ID3" + bytes((3, 0, 0)) + bytes((0, 0, 0, 117))
+           + frames23 + b"\x00" * (117 - len(frames23)))
     rows.append(("b-id3-mpeg1-32k",
                  id3 + _frame(3, 3, 160, 32000, 0, 0x22) * 10))
     xing = (b"Xing" + (0x1).to_bytes(4, "big") + (30).to_bytes(4, "big"))
@@ -90,6 +97,20 @@ def _rows() -> list:
     rows.append(("j-info-cbr", _with_header_payload(
         _frame(3, 3, 192, 48000, 0, 0x00), 36, info)
         + _frame(3, 3, 192, 48000, 0, 0x99) * 9))
+
+    # v2.4 tag (SYNCSAFE frame sizes, utf-8 text with multi-byte chars)
+    def syncsafe(n: int) -> bytes:
+        return bytes(((n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                      (n >> 7) & 0x7F, n & 0x7F))
+
+    u1 = b"\x03" + "Café Sessions".encode()
+    u2 = b"\x03" + "Überband".encode()
+    frames24 = (b"TIT2" + syncsafe(len(u1)) + b"\x00\x00" + u1
+                + b"TPE1" + syncsafe(len(u2)) + b"\x00\x00" + u2)
+    content24 = frames24 + b"\x00" * 20
+    id34 = b"ID3" + bytes((4, 0, 0)) + syncsafe(len(content24)) + content24
+    rows.append(("k-id3v24-utf8",
+                 id34 + _frame(3, 3, 192, 48000, 0, 0xAA) * 6))
     return rows
 
 

@@ -22,31 +22,43 @@ from pdf_parser_spark.sources.mp3_fixture import _rows as fixture_rows
 # hand-computed: frame lengths 144*kbps*1000/rate (L2/L3 MPEG1),
 # 72*kbps*1000/rate (L3 MPEG2); durations bytes*8/bitrate or
 # frames*spf/rate
+def _exp(**kw):
+    base = dict(title=None, artist=None)
+    base.update(kw)
+    return base
+
+
 EXPECTED = {
-    "a-cbr-mpeg1-48k": dict(mpeg_version="1", layer=3, bitrate_kbps=192,
+    "a-cbr-mpeg1-48k": _exp(mpeg_version="1", layer=3, bitrate_kbps=192,
                             sample_rate=48000, channels=2, vbr=False,
                             frame_count=None, duration_ms=600),
-    "b-id3-mpeg1-32k": dict(mpeg_version="1", layer=3, bitrate_kbps=160,
+    "b-id3-mpeg1-32k": _exp(mpeg_version="1", layer=3, bitrate_kbps=160,
                             sample_rate=32000, channels=2, vbr=False,
-                            frame_count=None, duration_ms=360),
-    "c-xing-vbr": dict(mpeg_version="1", layer=3, bitrate_kbps=128,
+                            frame_count=None, duration_ms=360,
+                            title="Deterministic Title",
+                            artist="Fixture Artist"),
+    "c-xing-vbr": _exp(mpeg_version="1", layer=3, bitrate_kbps=128,
                        sample_rate=44100, channels=2, vbr=True,
                        frame_count=30, duration_ms=784),
-    "d-mpeg2-mono": dict(mpeg_version="2", layer=3, bitrate_kbps=96,
+    "d-mpeg2-mono": _exp(mpeg_version="2", layer=3, bitrate_kbps=96,
                          sample_rate=24000, channels=1, vbr=False,
                          frame_count=None, duration_ms=480),
-    "e-id3v1-tail": dict(mpeg_version="1", layer=3, bitrate_kbps=192,
+    "e-id3v1-tail": _exp(mpeg_version="1", layer=3, bitrate_kbps=192,
                          sample_rate=48000, channels=2, vbr=False,
                          frame_count=None, duration_ms=360),
-    "f-layer2": dict(mpeg_version="1", layer=2, bitrate_kbps=192,
+    "f-layer2": _exp(mpeg_version="1", layer=2, bitrate_kbps=192,
                      sample_rate=48000, channels=2, vbr=False,
                      frame_count=None, duration_ms=192),
-    "i-vbri": dict(mpeg_version="1", layer=3, bitrate_kbps=160,
+    "i-vbri": _exp(mpeg_version="1", layer=3, bitrate_kbps=160,
                    sample_rate=44100, channels=2, vbr=True,
                    frame_count=12, duration_ms=313),
-    "j-info-cbr": dict(mpeg_version="1", layer=3, bitrate_kbps=192,
+    "j-info-cbr": _exp(mpeg_version="1", layer=3, bitrate_kbps=192,
                        sample_rate=48000, channels=2, vbr=False,
                        frame_count=10, duration_ms=240),
+    "k-id3v24-utf8": _exp(mpeg_version="1", layer=3, bitrate_kbps=192,
+                          sample_rate=48000, channels=2, vbr=False,
+                          frame_count=None, duration_ms=144,
+                          title="Café Sessions", artist="Überband"),
 }
 
 
@@ -122,6 +134,32 @@ class TestHeaderWalk:
         blob = frame[:36] + b"Xing" + b"\x00\x00\x00"  # cut mid-flags
         m = parse_mp3(blob)
         assert m["frame_count"] is None and m["vbr"] is False
+
+    def test_id3_text_frame_edges(self):
+        from pdf_parser_spark.kernels.mp3 import parse_id3v2_text_frames
+
+        def tag(ver, frames, pad=8):
+            content = frames + b"\x00" * pad
+            sz = len(content)
+            ss = bytes(((sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                        (sz >> 7) & 0x7F, sz & 0x7F))
+            return b"ID3" + bytes((ver, 0, 0)) + ss + content
+
+        # TXXX (description/value pair) must be skipped, not misread
+        txxx = b"TXXX" + (8).to_bytes(4, "big") + b"\x00\x00" \
+            + b"\x00desc\x00ok"
+        tit2 = b"TIT2" + (3).to_bytes(4, "big") + b"\x00\x00" + b"\x00ab"
+        assert parse_id3v2_text_frames(tag(3, txxx + tit2)) == \
+            {"TIT2": "ab"}
+        # utf-16 with BOM (encoding byte 1)
+        body = b"\x01" + "Sønder".encode("utf-16")
+        t16 = b"TIT2" + len(body).to_bytes(4, "big") + b"\x00\x00" + body
+        assert parse_id3v2_text_frames(tag(3, t16)) == {"TIT2": "Sønder"}
+        # a frame whose declared size overruns the tag: stop cleanly
+        bad = b"TPE1" + (600).to_bytes(4, "big") + b"\x00\x00" + b"\x00x"
+        assert parse_id3v2_text_frames(tag(3, tit2 + bad)) == {"TIT2": "ab"}
+        # no tag at all
+        assert parse_id3v2_text_frames(b"\xff\xfbxxxx") == {}
 
     def test_free_and_bad_bitrates_rejected(self):
         with pytest.raises(MP3Error):
