@@ -1065,11 +1065,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BITMAPINFOHEADER incl. top-down negative height, ICO directory
         # with the 0-means-256 rule) are pure JVM expressions over the
         # first 30 payload bytes; variable-header formats (JPEG SOFn
-        # marker walk, TIFF IFD walk) run in an Arrow-batched pandas UDF
-        # over at most a 64 KB prefix shipped ONLY for those rows. Oracle
-        # re-derives every field independently in DuckDB: hex arithmetic
-        # for the fixed offsets, a recursive-CTE marker walk for JPEG, a
-        # generate_series IFD walk for TIFF — no baked goldens.
+        # marker walk, TIFF IFD walk, HEIF/AVIF ISO-BMFF box walk to the
+        # ispe property) run in an Arrow-batched pandas UDF over at most
+        # a 64 KB prefix shipped ONLY for those rows. Oracle re-derives
+        # every field independently in DuckDB: hex arithmetic for the
+        # fixed offsets, a recursive-CTE marker walk for JPEG, a
+        # generate_series IFD walk for TIFF, chained recursive-CTE box
+        # walks (meta->iprp->ipco->ispe) for HEIF — no baked goldens.
         from pdf_parser_spark.sources.img_fixture import ensure_img_fixture
 
         path = ensure_img_fixture(ensure_corpus(sf_dir))
@@ -2652,8 +2654,18 @@ def oracle_sql() -> dict[str, str]:
                 f"ELSE 16777216*{ibx(o)} + 65536*{ibx(f'({o})+1')} "
                 f"+ 256*{ibx(f'({o})+2')} + {ibx(f'({o})+3')} END)")
 
+    def bu32x(o: str) -> str:  # big-endian u32 at dynamic 0-indexed offset
+        # ISO-BMFF box sizes/fields are always big-endian; TRY_CAST for
+        # the same no-short-circuit reason as ibx
+        return (f"TRY_CAST('0x' || substring(H, "
+                f"CAST(2*({o})+1 AS INT), 8) AS BIGINT)")
+
     _SOFS = ("'C0','C1','C2','C3','C5','C6','C7','C9','CA','CB',"
              "'CD','CE','CF'")
+    # hex('avif','avis','heic','heim','heis','heix','hevc','hevx',
+    #     'mif1','msf1') — the HEIF/AVIF still-image ftyp major brands
+    _HEIF_HEX = ("'61766966','61766973','68656963','6865696D','68656973',"
+                 "'68656978','68657663','68657678','6D696631','6D736631'")
     o["media_image_dimensions"] = f"""
         WITH RECURSIVE p AS (
           SELECT url, upper(hex(payload)) AS H,
@@ -2679,7 +2691,9 @@ def oracle_sql() -> dict[str, str]:
                     AND {ib(4)} + 256 * {ib(5)} >= 1) AS is_ico,
             (n >= 4 AND substring(H, 1, 6) = 'FFD8FF') AS is_jpeg,
             (n >= 8 AND substring(H, 1, 8)
-                        IN ('49492A00', '4D4D002A')) AS is_tiff
+                        IN ('49492A00', '4D4D002A')) AS is_tiff,
+            (n >= 12 AND substring(H, 9, 8) = '66747970'
+                     AND substring(H, 17, 8) IN ({_HEIF_HEX})) AS is_heif
           FROM p
         ),
         -- JPEG: an actual marker walk (ITU-T T.81 B.2) as a recursive
@@ -2748,6 +2762,83 @@ def oracle_sql() -> dict[str, str]:
             max(CASE WHEN tag = 256 THEN val END) AS tw,
             max(CASE WHEN tag = 257 THEN val END) AS th
           FROM tent GROUP BY url
+        ),
+        -- HEIF/AVIF: ISO-BMFF box walk (ISO/IEC 23008-12) re-derived
+        -- independently — top-level boxes -> meta (FullBox) -> iprp ->
+        -- ipco -> every ispe, largest w*h wins (the Spark sniffer's
+        -- primary-vs-thumbnail rule). Canonical 32-bit box sizes; each
+        -- advance is TRY_CASTed so a crafted size stops the walk instead
+        -- of erroring
+        hw1 AS (
+          SELECT url, H, n, 0 AS pos, 0 AS it FROM m WHERE is_heif
+          UNION ALL
+          SELECT url, H, n,
+                 TRY_CAST(pos + COALESCE({bu32x('pos')}, 0) AS INT), it + 1
+          FROM hw1
+          WHERE it < 32 AND pos + 8 <= n
+            AND COALESCE({bu32x('pos')}, 0) >= 8
+        ),
+        hmeta AS (
+          SELECT url, H, n, pos + 12 AS s,
+                 least(pos + COALESCE({bu32x('pos')}, 0), n) AS e
+          FROM hw1
+          WHERE pos + 8 <= n AND substring(H, 2*pos+9, 8) = '6D657461'
+            AND COALESCE({bu32x('pos')}, 0) >= 8
+        ),
+        hw2 AS (
+          SELECT url, H, n, s AS pos, e, 0 AS it FROM hmeta
+          UNION ALL
+          SELECT url, H, n,
+                 TRY_CAST(pos + COALESCE({bu32x('pos')}, 0) AS INT), e, it + 1
+          FROM hw2
+          WHERE it < 32 AND pos + 8 <= e
+            AND COALESCE({bu32x('pos')}, 0) >= 8
+        ),
+        hiprp AS (
+          SELECT url, H, n, pos + 8 AS s,
+                 least(pos + COALESCE({bu32x('pos')}, 0), n) AS e
+          FROM hw2
+          WHERE pos + 8 <= e AND substring(H, 2*pos+9, 8) = '69707270'
+            AND COALESCE({bu32x('pos')}, 0) >= 8
+        ),
+        hw3 AS (
+          SELECT url, H, n, s AS pos, e, 0 AS it FROM hiprp
+          UNION ALL
+          SELECT url, H, n,
+                 TRY_CAST(pos + COALESCE({bu32x('pos')}, 0) AS INT), e, it + 1
+          FROM hw3
+          WHERE it < 32 AND pos + 8 <= e
+            AND COALESCE({bu32x('pos')}, 0) >= 8
+        ),
+        hipco AS (
+          SELECT url, H, n, pos + 8 AS s,
+                 least(pos + COALESCE({bu32x('pos')}, 0), n) AS e
+          FROM hw3
+          WHERE pos + 8 <= e AND substring(H, 2*pos+9, 8) = '6970636F'
+            AND COALESCE({bu32x('pos')}, 0) >= 8
+        ),
+        hw4 AS (
+          SELECT url, H, n, s AS pos, e, 0 AS it FROM hipco
+          UNION ALL
+          SELECT url, H, n,
+                 TRY_CAST(pos + COALESCE({bu32x('pos')}, 0) AS INT), e, it + 1
+          FROM hw4
+          WHERE it < 64 AND pos + 8 <= e
+            AND COALESCE({bu32x('pos')}, 0) >= 8
+        ),
+        hispe AS (
+          SELECT url, pos,
+                 {bu32x('pos + 12')} AS w, {bu32x('pos + 16')} AS h
+          FROM hw4
+          WHERE pos + 8 <= e AND substring(H, 2*pos+9, 8) = '69737065'
+            AND COALESCE({bu32x('pos')}, 0) >= 20 AND pos + 20 <= n
+        ),
+        hdims AS (
+          SELECT url, w AS hw, h AS hh FROM (
+            SELECT url, w, h,
+                   row_number() OVER (PARTITION BY url
+                                      ORDER BY w*h DESC, pos ASC) AS rk
+            FROM hispe) WHERE rk = 1
         )
         SELECT m.url,
           CASE WHEN is_png THEN 'png' WHEN is_gif THEN 'gif'
@@ -2755,6 +2846,7 @@ def oracle_sql() -> dict[str, str]:
                WHEN is_vp8x THEN 'webp-vp8x'
                WHEN is_jpeg THEN 'jpeg'
                WHEN is_tiff THEN 'tiff'
+               WHEN is_heif THEN 'heif'
                WHEN is_bmp THEN 'bmp'
                WHEN is_ico THEN 'ico' ELSE 'other' END AS img_kind,
           -- TRY_CAST mirrors the Spark side's try_cast: crafted headers
@@ -2769,6 +2861,9 @@ def oracle_sql() -> dict[str, str]:
             WHEN is_tiff THEN CASE
               WHEN tdims.tw BETWEEN 1 AND 2147483647
                AND tdims.th BETWEEN 1 AND 2147483647 THEN tdims.tw END
+            WHEN is_heif THEN CASE
+              WHEN hdims.hw BETWEEN 1 AND 2147483647
+               AND hdims.hh BETWEEN 1 AND 2147483647 THEN hdims.hw END
             WHEN is_bmp THEN {ib(18)} + 256 * {ib(19)}
                              + 65536 * {ib(20)} + 16777216 * {ib(21)}
             WHEN is_ico THEN CASE WHEN {ib(6)} = 0 THEN 256
@@ -2785,6 +2880,9 @@ def oracle_sql() -> dict[str, str]:
             WHEN is_tiff THEN CASE
               WHEN tdims.tw BETWEEN 1 AND 2147483647
                AND tdims.th BETWEEN 1 AND 2147483647 THEN tdims.th END
+            WHEN is_heif THEN CASE
+              WHEN hdims.hw BETWEEN 1 AND 2147483647
+               AND hdims.hh BETWEEN 1 AND 2147483647 THEN hdims.hh END
             WHEN is_bmp THEN CASE
               WHEN {ib(22)} + 256*{ib(23)} + 65536*{ib(24)}
                    + 16777216*{ib(25)} >= 2147483648
@@ -2798,6 +2896,7 @@ def oracle_sql() -> dict[str, str]:
         FROM m
         LEFT JOIN jdims ON m.url = jdims.url
         LEFT JOIN tdims ON m.url = tdims.url
+        LEFT JOIN hdims ON m.url = hdims.url
         ORDER BY m.url
     """
 

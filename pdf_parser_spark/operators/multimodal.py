@@ -30,6 +30,7 @@ from pyspark.sql.types import (
 __all__ = [
     "media_metadata", "image_dimensions",
     "jpeg_sniff_dimensions", "tiff_sniff_dimensions",
+    "heif_sniff_dimensions",
     "media_features", "decode_image", "pixel_features",
     "image_resize", "frame_sample", "parse_riff_wav", "media_av_metadata",
     "media_mp3_metadata",
@@ -177,6 +178,71 @@ def tiff_sniff_dimensions(b):
         return None
 
 
+# ftyp major brands that mark an ISO-BMFF file as a HEIF/AVIF still image
+# (ISO/IEC 23008-12 / AV1-AVIF spec) rather than a playable MP4 video
+_HEIF_BRANDS = frozenset(
+    (b"avif", b"avis", b"heic", b"heix", b"heim", b"heis",
+     b"hevc", b"hevx", b"mif1", b"msf1")
+)
+
+
+def _iso_boxes(b, start, end):
+    """Yield (fourcc, content_start, box_end) for ISO-BMFF boxes laid out
+    in b[start:end]. Handles size==1 (64-bit largesize) and size==0
+    (extends to the end); stops on truncation or a size too small to make
+    progress, so the walk always terminates."""
+    pos = start
+    n = min(end, len(b))
+    while pos + 8 <= n:
+        size = int.from_bytes(b[pos:pos + 4], "big")
+        typ = bytes(b[pos + 4:pos + 8])
+        hdr = 8
+        if size == 1:
+            if pos + 16 > n:
+                return
+            size = int.from_bytes(b[pos + 8:pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = n - pos
+        if size < hdr:
+            return
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def heif_sniff_dimensions(b):
+    """Width/height of a HEIF/AVIF still image from the ISO-BMFF header
+    walk: top-level boxes -> 'meta' (FullBox, 4-byte version/flags) ->
+    'iprp' -> 'ipco' -> 'ispe' (ImageSpatialExtentsProperty, ISO/IEC
+    23008-12 §6.5.3: version/flags then u32 width, u32 height). When the
+    property container holds several ispe boxes (thumbnail, auxiliary
+    alpha), the largest w*h wins — the primary-image heuristic header
+    sniffers use instead of a full pitm/ipma association walk. Returns
+    (width, height) or None. Pure header arithmetic over a bounded
+    prefix: the meta box precedes mdat in HEIF files, so the 64 KB cap
+    holds the same way it does for JPEG (multimodal.py:91)."""
+    n = len(b)
+    if n < 12 or b[4:8] != b"ftyp" or bytes(b[8:12]) not in _HEIF_BRANDS:
+        return None
+    best = None
+    for typ, cs, ce in _iso_boxes(b, 0, n):
+        if typ != b"meta":
+            continue
+        for t2, cs2, ce2 in _iso_boxes(b, cs + 4, ce):  # skip FullBox verflags
+            if t2 != b"iprp":
+                continue
+            for t3, cs3, ce3 in _iso_boxes(b, cs2, ce2):
+                if t3 != b"ipco":
+                    continue
+                for t4, cs4, ce4 in _iso_boxes(b, cs3, ce3):
+                    if t4 == b"ispe" and cs4 + 12 <= min(ce4, n):
+                        w = int.from_bytes(b[cs4 + 4:cs4 + 8], "big")
+                        h = int.from_bytes(b[cs4 + 8:cs4 + 12], "big")
+                        if best is None or w * h > best[0] * best[1]:
+                            best = (w, h)
+    return best
+
+
 def _sniff_dims_batch(prefixes):
     # plain function (not a closure) so Spark pickles only this + the two
     # sniffers; annotations dropped per the pandas_udf/__future__ gotcha
@@ -186,6 +252,8 @@ def _sniff_dims_batch(prefixes):
         if p is not None:
             if len(p) >= 3 and p[:3] == b"\xff\xd8\xff":
                 wh = jpeg_sniff_dimensions(p)
+            elif len(p) >= 12 and p[4:8] == b"ftyp":
+                wh = heif_sniff_dimensions(p)
             else:
                 wh = tiff_sniff_dimensions(p)
         # a crafted TIFF LONG can carry up to 2^32-1: out-of-int32-range
@@ -219,9 +287,12 @@ def image_dimensions(
       directory entry (byte 0 means 256).
     - Bounded-scan tier, only for formats with variable headers: JPEG
       (SOFn marker walk — the majority web image format, r4 VERDICT gap
-      #1) and TIFF (IFD walk). An Arrow-batched pandas UDF over at most
-      the first 64 KB; rows of every other kind ship a NULL prefix, so
-      no fixed-offset payload ever crosses into Python.
+      #1), TIFF (IFD walk), and HEIF/AVIF (ISO-BMFF box walk to the
+      ispe ImageSpatialExtents property — ftyp major brand distinguishes
+      a still image from a playable MP4, which stays 'other' here). An
+      Arrow-batched pandas UDF over at most the first 64 KB; rows of
+      every other kind ship a NULL prefix, so no fixed-offset payload
+      ever crosses into Python.
     """
     col = F.col(bin_col)
     H = F.upper(F.hex(F.substring(col, 1, 30)))
@@ -254,6 +325,12 @@ def image_dimensions(
     is_ico = (n >= 8) & (hs(0, 4) == "00000100") & (le(4, 2) >= 1)
     is_jpeg = (n >= 4) & (hs(0, 3) == "FFD8FF")
     is_tiff = (n >= 8) & hs(0, 4).isin("49492A00", "4D4D002A")
+    # ISO-BMFF still image: ftyp at byte 4 with a HEIF/AVIF major brand
+    # (hex of _HEIF_BRANDS); plain video brands (isom/mp42/...) stay other
+    is_heif = (
+        (n >= 12) & (hs(4, 4) == "66747970")
+        & hs(8, 4).isin(*sorted(b.hex().upper() for b in _HEIF_BRANDS))
+    )
 
     kind = (
         F.when(is_png, F.lit("png"))
@@ -262,6 +339,7 @@ def image_dimensions(
         .when(is_vp8x, F.lit("webp-vp8x"))
         .when(is_jpeg, F.lit("jpeg"))
         .when(is_tiff, F.lit("tiff"))
+        .when(is_heif, F.lit("heif"))
         .when(is_bmp, F.lit("bmp"))
         .when(is_ico, F.lit("ico"))
         .otherwise(F.lit("other"))
@@ -292,7 +370,7 @@ def image_dimensions(
         StructType([StructField("w", IntegerType()),
                     StructField("h", IntegerType())]),
     )
-    prefix = F.when(is_jpeg | is_tiff,
+    prefix = F.when(is_jpeg | is_tiff | is_heif,
                     F.substring(col, 1, SNIFF_PREFIX_BYTES))
     # try_cast, not cast: ANSI mode is on, and a crafted header (PNG/BMP
     # width bytes at 2^31+) would otherwise kill the task with

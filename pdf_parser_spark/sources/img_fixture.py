@@ -222,6 +222,49 @@ def _headers_only() -> list:
     return out
 
 
+def _heifs() -> list:
+    """Minimal-but-structurally-real HEIF/AVIF headers for the no-decode
+    dimension gate (built HERE, independently of the multimodal box-walk
+    sniffer — the differential-anchor rule). Each file is ftyp + meta
+    (FullBox: hdlr/pitm come before iprp so the walk must skip siblings;
+    ipco carries a codec-config stub alongside ispe) + an mdat stub; no
+    pixel payload is claimed, so the feature path takes the digest
+    fallback like the other header-only rows."""
+    import struct
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    def ispe(w: int, h: int) -> bytes:
+        return box(b"ispe", struct.pack(">III", 0, w, h))
+
+    def heif(brand: bytes, ispes, codec: bytes, with_iprp: bool = True) -> bytes:
+        ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
+        hdlr = box(b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"pict"
+                   + b"\x00" * 12 + b"\x00")
+        pitm = box(b"pitm", struct.pack(">IH", 0, 1))
+        meta_body = struct.pack(">I", 0) + hdlr + pitm
+        if with_iprp:
+            ipco = box(b"ipco", b"".join(ispe(w, h) for w, h in ispes)
+                       + box(codec, b"\x81\x04\x0c\x00"))
+            ipma = box(b"ipma", struct.pack(">II", 0, 1)
+                       + struct.pack(">HBB", 1, 2, 0x01) + b"\x02")
+            meta_body += box(b"iprp", ipco + ipma)
+        return ftyp + box(b"meta", meta_body) + box(b"mdat", b"\x00" * 24)
+
+    return [
+        # primary image + a smaller thumbnail ispe: the largest-area rule
+        # must pick the primary, not the first-encountered thumbnail
+        ("za-avif", heif(b"avif", [(320, 240), (4032, 3024)], b"av1C")),
+        ("zb-heic", heif(b"heic", [(1440, 960)], b"hvcC")),
+        # meta without an iprp: a valid HEIF brand whose dims are unknown
+        ("zc-mif1-noprops", heif(b"mif1", [], b"av1C", with_iprp=False)),
+        # plain MP4 video brand: ftyp is NOT enough — the gate must leave
+        # playable video as 'other' rather than mislabel it a still image
+        ("zd-isom", heif(b"isom", [(640, 480)], b"avcC")),
+    ]
+
+
 def _feature_ints(payload: bytes, dim: int) -> str:
     from ..operators.multimodal import _fake_features, decode_image, pixel_features
 
@@ -291,6 +334,12 @@ def ensure_img_fixture(corpus_dir: str) -> str:
            "w-tiff-le": "tif", "x-tiff-be": "tif", "y-vp8x-anim": "webp"}
     rows += [(f"https://fixtures.test/img/{name}.{ext[name]}", data)
              for name, data in _headers_only()]
+    # HEIF/AVIF headers for the dimension gate: ispe box walk, thumbnail
+    # vs primary disambiguation, brand gating (isom video stays 'other')
+    hext = {"za-avif": "avif", "zb-heic": "heic",
+            "zc-mif1-noprops": "heif", "zd-isom": "mp4"}
+    rows += [(f"https://fixtures.test/img/{name}.{hext[name]}", data)
+             for name, data in _heifs()]
     # a REAL animated WebP: VP8X canvas + 3 composited ANMF frames
     # (offset patch, dispose-to-background) — decodes for real through
     # decode_webp_frames; frame goldens sample its composited frames

@@ -111,7 +111,9 @@ def test_webp_vp8l_lossless(h, w, n_colors, mode, seed):
 @settings(max_examples=40, deadline=None)
 @given(data=st.binary(max_size=600),
        prefix=st.sampled_from([b"", b"\xff\xd8\xff", b"II*\x00", b"MM\x00*",
-                               b"ID3", b"\xff\xfb"]))
+                               b"ID3", b"\xff\xfb",
+                               b"\x00\x00\x00\x18ftypavif",
+                               b"\x00\x00\x00\x01ftypheic"]))
 def test_header_parsers_never_crash_on_junk(data, prefix):
     # robustness contract for every header-walk parser added in round 5:
     # arbitrary bytes (with and without plausible magics) either parse or
@@ -119,7 +121,7 @@ def test_header_parsers_never_crash_on_junk(data, prefix):
     # which would become a task failure at scale
     from pdf_parser_spark.kernels.mp3 import MP3Error, parse_mp3
     from pdf_parser_spark.operators.multimodal import (
-        jpeg_sniff_dimensions, tiff_sniff_dimensions,
+        heif_sniff_dimensions, jpeg_sniff_dimensions, tiff_sniff_dimensions,
     )
 
     blob = prefix + data
@@ -129,7 +131,8 @@ def test_header_parsers_never_crash_on_junk(data, prefix):
                                     24000, 32000, 44100, 48000)
     except MP3Error:
         pass
-    for fn in (jpeg_sniff_dimensions, tiff_sniff_dimensions):
+    for fn in (jpeg_sniff_dimensions, tiff_sniff_dimensions,
+               heif_sniff_dimensions):
         wh = fn(blob)
         assert wh is None or (len(wh) == 2
                               and all(v is None or 0 <= v <= 0xFFFFFFFF

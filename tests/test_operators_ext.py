@@ -538,6 +538,12 @@ class TestImageDimensions:
             "w-tiff-le": ("tiff", 77, 3000),
             "x-tiff-be": ("tiff", 513, 21),
             "y-vp8x-anim": ("webp-vp8x", 400, 260),
+            # HEIF/AVIF: the largest ispe wins (za carries a 320x240
+            # thumbnail property too); no iprp -> NULL dims; the isom
+            # video brand lands in the kind=='other' branch below
+            "za-avif": ("heif", 4032, 3024),
+            "zb-heic": ("heif", 1440, 960),
+            "zc-mif1-noprops": ("heif", None, None),
         }
         n_checked = 0
         for url, payload in zip(media["url"], media["payload"]):
@@ -606,6 +612,17 @@ class TestImageDimensions:
                     + struct.pack("<HHIHH", 257, 3, 1, 5, 0)
                     + struct.pack("<I", 0))
         rows.append(("tiff-huge-width", bytearray(tif_huge)))
+
+        def bx(t, body):
+            return struct.pack(">I", 8 + len(body)) + t + body
+
+        heif_huge = (
+            bx(b"ftyp", b"avif\x00\x00\x00\x00avif")
+            + bx(b"meta", struct.pack(">I", 0) + bx(
+                b"iprp", bx(b"ipco", bx(
+                    b"ispe", struct.pack(">III", 0, 0x90000000, 5)))))
+        )
+        rows.append(("heif-huge-width", bytearray(heif_huge)))
         df = spark.createDataFrame(rows, "url string, payload binary")
         got = {r.url: r for r in
                image_dimensions(df, bin_col="payload").collect()}
@@ -624,6 +641,9 @@ class TestImageDimensions:
         assert (got["tiff-huge-width"].img_kind,
                 got["tiff-huge-width"].width,
                 got["tiff-huge-width"].height) == ("tiff", None, None)
+        assert (got["heif-huge-width"].img_kind,
+                got["heif-huge-width"].width,
+                got["heif-huge-width"].height) == ("heif", None, None)
 
     def test_boundary_dims_differential_vs_encoders(self, spark):
         # field-boundary crossings where an offset/packing mistake flips
@@ -727,3 +747,56 @@ class TestImageDimensions:
         assert tiff_sniff_dimensions(only_w) is None
         assert tiff_sniff_dimensions(b"II*\x00\x08") is None
         assert tiff_sniff_dimensions(b"not a tiff at all") is None
+
+    def test_heif_sniffer_box_walk_edges(self):
+        # built here with a test-local box packer, independent of BOTH the
+        # fixture builder and the sniffer (the differential-anchor rule)
+        import struct
+
+        from pdf_parser_spark.operators.multimodal import (
+            heif_sniff_dimensions,
+        )
+
+        def box(t, body, large=False):
+            if large:
+                return struct.pack(">I", 1) + t + struct.pack(
+                    ">Q", 16 + len(body)) + body
+            return struct.pack(">I", 8 + len(body)) + t + body
+
+        def ispe(w, h):
+            return box(b"ispe", struct.pack(">III", 0, w, h))
+
+        ftyp = box(b"ftyp", b"avif\x00\x00\x00\x00avifmif1")
+
+        def meta(*children):
+            return box(b"meta", struct.pack(">I", 0) + b"".join(children))
+
+        def iprp(ipco_body):
+            return box(b"iprp", box(b"ipco", ipco_body))
+
+        # free box before meta, junk property between two ispes; the
+        # larger (primary) ispe wins regardless of order
+        f = (ftyp + box(b"free", b"\x00" * 7)
+             + meta(box(b"hdlr", b"\x00" * 21),
+                    iprp(ispe(100, 50) + box(b"junk", b"\xee" * 3)
+                         + ispe(99, 51))))
+        # 99*51 = 5049 > 100*50 = 5000: area, not order or width, decides
+        assert heif_sniff_dimensions(f) == (99, 51)
+        # 64-bit largesize meta box: the walker must honor hdr=16
+        f2 = ftyp + meta(iprp(ispe(7, 9)))
+        big = (ftyp + box(b"meta",
+                          struct.pack(">I", 0) + iprp(ispe(21, 34)),
+                          large=True))
+        assert heif_sniff_dimensions(f2) == (7, 9)
+        assert heif_sniff_dimensions(big) == (21, 34)
+        # non-HEIF brand, truncated ispe, empty ipco, bare ftyp
+        assert heif_sniff_dimensions(
+            box(b"ftyp", b"isom\x00\x00\x00\x00isom") + f2[24:]) is None
+        trunc = ftyp + meta(iprp(box(b"ispe", struct.pack(">IH", 0, 3))))
+        assert heif_sniff_dimensions(trunc) is None
+        assert heif_sniff_dimensions(ftyp + meta(iprp(b""))) is None
+        assert heif_sniff_dimensions(ftyp) is None
+        assert heif_sniff_dimensions(b"") is None
+        # zero-size box (extends to end) terminates cleanly
+        zed = ftyp + struct.pack(">I", 0) + b"meta" + b"\x00" * 4
+        assert heif_sniff_dimensions(zed) is None
