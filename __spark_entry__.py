@@ -2468,30 +2468,124 @@ def oracle_sql() -> dict[str, str]:
         return (f"({wb(i)} + 256 * {wb(i + 1)} + 65536 * {wb(i + 2)}"
                 f" + 16777216 * {wb(i + 3)})")
 
+    # TRY_CAST byte helpers for the non-WAV audio kinds, where payloads
+    # can be shorter than a fixed read (truncated-FLAC row) or the offset
+    # is dynamic (Ogg segment table); DuckDB does not short-circuit AND
+    def tb(i) -> str:  # byte at fixed-or-expression offset, NULL-safe
+        return (f"COALESCE(TRY_CAST('0x' || substring(h, "
+                f"CAST(2*({i})+1 AS INT), 2) AS BIGINT), 0)")
+
+    def tle16(i) -> str:
+        return f"({tb(i)} + 256 * {tb(f'({i})+1')})"
+
+    def tle32(i) -> str:
+        return (f"({tb(i)} + 256 * {tb(f'({i})+1')} "
+                f"+ 65536 * {tb(f'({i})+2')} + 16777216 * {tb(f'({i})+3')})")
+
+    # FLAC STREAMINFO bitfield reads (RFC 9639): rate 20 bits from bytes
+    # 18-20, channels/bits from 20-21, 36-bit total samples from 21-25
+    _frate = f"({tb(18)} * 4096 + {tb(19)} * 16 + {tb(20)} // 16)"
+    _ftotal = (f"(({tb(21)} % 16) * 4294967296 + {tb(22)} * 16777216 "
+               f"+ {tb(23)} * 65536 + {tb(24)} * 256 + {tb(25)})")
+    _fok = f"(n >= 42 AND {tb(4)} % 128 = 0 AND {_frate} > 0)"
+    # Ogg: the ID packet starts after the first page's 27-byte header and
+    # nseg0-byte lacing table; lace0 = packet length (sum of lacing values)
+    _nseg0 = tb(26)
+    _lace0 = (f"COALESCE(list_sum(list_transform(range(0, CAST({_nseg0} "
+              f"AS BIGINT)), i -> TRY_CAST('0x' || substring(h, "
+              f"CAST(2*(27+i)+1 AS INT), 2) AS BIGINT))), 0)")
+    _p0 = f"(27 + {_nseg0})"
+    # dynamic page-walk end: header + lacing table + summed lacing values
+    _oend = (f"(pos + 27 + {tb('pos+26')} + COALESCE(list_sum("
+             f"list_transform(range(0, CAST({tb('pos+26')} AS BIGINT)), "
+             f"i -> TRY_CAST('0x' || substring(h, CAST(2*(pos+27+i)+1 "
+             f"AS INT), 2) AS BIGINT))), 0))")
+    _opage_ok = (f"(pos + 27 <= n AND substring(h, CAST(2*pos+1 AS INT), 8)"
+                 f" = '4F676753' AND {_oend} <= n)")
     o["media_wav_metadata"] = f"""
-        WITH p AS (SELECT url, hex(payload) AS h FROM read_parquet('{AV_01}')),
-        m AS (
-          SELECT url,
+        WITH RECURSIVE p AS (
+          SELECT url, hex(payload) AS h,
+                 COALESCE(octet_length(payload), 0) AS n
+          FROM read_parquet('{AV_01}')
+        ),
+        k AS (
+          SELECT url, h, n,
             -- 'wav' requires the fmt chunk id at offset 12 too, matching
             -- parse_riff_wav's acceptance (RIFF+WAVE magic alone with a
             -- missing/reordered fmt chunk classifies 'riff' in the parser;
             -- the fixed-offset field reads below are only valid with the
-            -- canonical fmt-first layout this pins)
+            -- canonical fmt-first layout this pins). FLAC/Ogg kinds mirror
+            -- parse_flac_streaminfo / parse_ogg_id: magic alone gives the
+            -- container kind, a well-formed ID packet refines Ogg to the
+            -- codec kind
             CASE WHEN substring(h, 1, 8) = '52494646'
                   AND substring(h, 17, 8) = '57415645'
                   AND substring(h, 25, 8) = '666D7420' THEN 'wav'
                  WHEN substring(h, 1, 8) = '52494646' THEN 'riff'
-                 ELSE 'unknown' END AS media_kind, h
+                 WHEN substring(h, 1, 8) = '664C6143' THEN 'flac'
+                 WHEN substring(h, 1, 8) = '4F676753' THEN
+                   CASE WHEN n >= 28 AND {tb(4)} = 0
+                         AND {_p0} + {_lace0} <= n AND {_lace0} >= 16
+                         AND substring(h, CAST(2*{_p0}+1 AS INT), 16)
+                             = '4F70757348656164' THEN 'ogg-opus'
+                        WHEN n >= 28 AND {tb(4)} = 0
+                         AND {_p0} + {_lace0} <= n AND {_lace0} >= 16
+                         AND substring(h, CAST(2*{_p0}+1 AS INT), 14)
+                             = '01766F72626973' THEN 'ogg-vorbis'
+                        ELSE 'ogg' END
+                 ELSE 'unknown' END AS media_kind
           FROM p
+        ),
+        -- Ogg page walk: advance by header + lacing-table + body until a
+        -- page is truncated; the last complete page's granule position is
+        -- the stream-end sample count
+        owalk AS (
+          SELECT url, h, n, 0 AS pos, 0 AS it FROM k
+          WHERE media_kind IN ('ogg-opus', 'ogg-vorbis')
+          UNION ALL
+          SELECT url, h, n, TRY_CAST({_oend} AS INT), it + 1
+          FROM owalk
+          WHERE it < 64 AND {_opage_ok}
+        ),
+        olast AS (
+          SELECT url, arg_max(g, pos) AS lastg FROM (
+            SELECT url, pos,
+                   CAST({tle32('pos+10')} AS HUGEINT) * 4294967296
+                   + {tle32('pos+6')} AS g
+            FROM owalk WHERE {_opage_ok}
+          ) WHERE g <= 9223372036854775807 GROUP BY url
         )
-        SELECT url, media_kind,
-          CASE WHEN media_kind = 'wav' THEN {le16(22)}::INT END AS channels,
-          CASE WHEN media_kind = 'wav' THEN {le32(24)}::INT END AS sample_rate,
-          CASE WHEN media_kind = 'wav' THEN {le16(34)}::INT END AS bits_per_sample,
+        SELECT k.url, media_kind,
+          CASE WHEN media_kind = 'wav' THEN {le16(22)}::INT
+               WHEN media_kind = 'flac' AND {_fok}
+                 THEN (({tb(20)} // 2) % 8 + 1)::INT
+               WHEN media_kind = 'ogg-opus' THEN {tb(f'{_p0}+9')}::INT
+               WHEN media_kind = 'ogg-vorbis' THEN {tb(f'{_p0}+11')}::INT
+          END AS channels,
+          CASE WHEN media_kind = 'wav' THEN {le32(24)}::INT
+               WHEN media_kind = 'flac' AND {_fok} THEN {_frate}::INT
+               WHEN media_kind IN ('ogg-opus', 'ogg-vorbis')
+                 THEN {tle32(f'{_p0}+12')}::INT
+          END AS sample_rate,
+          CASE WHEN media_kind = 'wav' THEN {le16(34)}::INT
+               WHEN media_kind = 'flac' AND {_fok}
+                 THEN (({tb(20)} % 2) * 16 + {tb(21)} // 16 + 1)::INT
+          END AS bits_per_sample,
           CASE WHEN media_kind = 'wav'
                THEN CAST(round({le32(40)} * 1000.0 / {le32(28)}) AS BIGINT)
+               WHEN media_kind = 'flac' AND {_fok} AND {_ftotal} > 0
+               THEN CAST(round({_ftotal} * 1000.0 / {_frate}) AS BIGINT)
+               WHEN media_kind = 'ogg-opus'
+                AND lastg > {tle16(f'{_p0}+10')}
+               THEN CAST(round((lastg - {tle16(f'{_p0}+10')}) * 1000.0
+                          / 48000) AS BIGINT)
+               WHEN media_kind = 'ogg-vorbis' AND lastg > 0
+                AND {tle32(f'{_p0}+12')} > 0
+               THEN CAST(round(lastg * 1000.0 / {tle32(f'{_p0}+12')})
+                         AS BIGINT)
           END AS duration_ms
-        FROM m ORDER BY url
+        FROM k LEFT JOIN olast ON k.url = olast.url
+        ORDER BY k.url
     """
 
     # sample-level audio decode: PCM samples re-derived from hex (16-bit LE

@@ -33,6 +33,7 @@ __all__ = [
     "heif_sniff_dimensions",
     "media_features", "decode_image", "pixel_features",
     "image_resize", "frame_sample", "parse_riff_wav", "media_av_metadata",
+    "parse_flac_streaminfo", "parse_ogg_id",
     "media_mp3_metadata",
     "media_mp4_metadata", "decode_wav_samples", "audio_features",
     "decode_video_frames",
@@ -430,6 +431,90 @@ def parse_riff_wav(payload: bytes) -> dict:
     }
 
 
+def parse_flac_streaminfo(payload: bytes) -> dict:
+    """From-scratch FLAC STREAMINFO parse (RFC 9639).
+
+    STREAMINFO is mandated to be the FIRST metadata block (§8.1), so its
+    34-byte body sits at byte 8 after the 4-byte magic and 4-byte block
+    header. Sample rate (20 bits), channels-1 (3), bits-per-sample-1 (5)
+    and total samples (36) are unpacked from the big-endian bitfield at
+    bytes 18-25; duration derives from total/rate (total==0 means
+    unknown). Raises ValueError for non-FLAC or malformed payloads.
+    """
+    n = len(payload)
+    if n < 4 or payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    if n < 42 or (payload[4] & 0x7F) != 0:
+        raise ValueError("FLAC without leading STREAMINFO")
+    b = payload
+    rate = (b[18] << 12) | (b[19] << 4) | (b[20] >> 4)
+    channels = ((b[20] >> 1) & 0x07) + 1
+    bits = (((b[20] & 0x01) << 4) | (b[21] >> 4)) + 1
+    total = ((b[21] & 0x0F) << 32) | int.from_bytes(b[22:26], "big")
+    if rate == 0:
+        raise ValueError("FLAC with zero sample rate")
+    duration_ms = int(round(total * 1000 / rate)) if total else None
+    return {"channels": channels, "sample_rate": rate,
+            "bits_per_sample": bits, "duration_ms": duration_ms}
+
+
+def parse_ogg_id(payload: bytes) -> dict:
+    """Ogg identification-header parse + page-walk duration (RFC 3533).
+
+    The first page's packet identifies the codec: OpusHead (RFC 7845 —
+    channels at packet byte 9, pre-skip LE16 at 10, input sample rate
+    LE32 at 12) or the Vorbis ID header (0x01+'vorbis' — channels at 11,
+    rate LE32 at 12). Duration comes from the granule position of the
+    last complete page: Opus granules tick at 48 kHz regardless of input
+    rate, minus pre-skip; Vorbis granules tick at the stream rate. A
+    granule of 2^63+ (the spec's -1 "no packet ends here") is skipped.
+    Raises ValueError for non-Ogg payloads or an unrecognized ID packet.
+    """
+    n = len(payload)
+    if n < 28 or payload[:4] != b"OggS" or payload[4] != 0:
+        raise ValueError("not an Ogg page")
+    nseg0 = payload[26]
+    p0 = 27 + nseg0
+    if p0 > n:
+        raise ValueError("truncated Ogg segment table")
+    body0 = sum(payload[27:27 + nseg0])
+    if p0 + body0 > n:
+        raise ValueError("truncated Ogg first page")
+    pkt = payload[p0:p0 + body0]
+    preskip = 0
+    if pkt[:8] == b"OpusHead" and len(pkt) >= 16:
+        kind = "ogg-opus"
+        channels = pkt[9]
+        preskip = int.from_bytes(pkt[10:12], "little")
+        rate = int.from_bytes(pkt[12:16], "little")
+    elif pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+        kind = "ogg-vorbis"
+        channels = pkt[11]
+        rate = int.from_bytes(pkt[12:16], "little")
+    else:
+        raise ValueError("unrecognized Ogg identification packet")
+    pos = 0
+    last = None
+    while pos + 27 <= n and payload[pos:pos + 4] == b"OggS":
+        ns = payload[pos + 26]
+        if pos + 27 + ns > n:
+            break
+        end = pos + 27 + ns + sum(payload[pos + 27:pos + 27 + ns])
+        if end > n:
+            break
+        g = int.from_bytes(payload[pos + 6:pos + 14], "little")
+        if g < 2 ** 63:
+            last = g
+        pos = end
+    duration_ms = None
+    if kind == "ogg-opus" and last is not None and last > preskip:
+        duration_ms = int(round((last - preskip) * 1000 / 48000))
+    elif kind == "ogg-vorbis" and last and rate:
+        duration_ms = int(round(last * 1000 / rate))
+    return {"kind": kind, "channels": channels, "sample_rate": rate,
+            "bits_per_sample": None, "duration_ms": duration_ms}
+
+
 def decode_wav_samples(payload: bytes) -> "np.ndarray":
     """Decode WAV PCM samples to an int32 array (channel-interleaved).
 
@@ -532,8 +617,9 @@ AV_SCHEMA = StructType([
 def media_av_metadata(
     df: DataFrame, bin_col: str = "html", key_col: str = "url"
 ) -> DataFrame:
-    """Typed audio metadata over opaque binary payloads: WAV payloads parse
-    for real (parse_riff_wav); anything else yields NULL fields with the
+    """Typed audio metadata over opaque binary payloads: WAV (RIFF walk),
+    FLAC (STREAMINFO bitfield), and Ogg Opus/Vorbis (ID packet + granule
+    page walk) parse for real; anything else yields NULL fields with the
     sniffed kind — per-row isolation, one bad container never kills a task.
     """
 
@@ -549,6 +635,19 @@ def media_av_metadata(
                     try:
                         meta = parse_riff_wav(payload)
                         kind = "wav"
+                    except ValueError:
+                        meta = None
+                elif payload[:4] == b"fLaC":
+                    kind = "flac"
+                    try:
+                        meta = parse_flac_streaminfo(payload)
+                    except ValueError:
+                        meta = None
+                elif payload[:4] == b"OggS":
+                    kind = "ogg"
+                    try:
+                        meta = parse_ogg_id(payload)
+                        kind = meta.pop("kind")
                     except ValueError:
                         meta = None
                 out["url"].append(url)

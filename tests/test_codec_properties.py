@@ -113,7 +113,8 @@ def test_webp_vp8l_lossless(h, w, n_colors, mode, seed):
        prefix=st.sampled_from([b"", b"\xff\xd8\xff", b"II*\x00", b"MM\x00*",
                                b"ID3", b"\xff\xfb",
                                b"\x00\x00\x00\x18ftypavif",
-                               b"\x00\x00\x00\x01ftypheic"]))
+                               b"\x00\x00\x00\x01ftypheic",
+                               b"fLaC\x00\x00\x00\x22", b"OggS\x00\x04"]))
 def test_header_parsers_never_crash_on_junk(data, prefix):
     # robustness contract for every header-walk parser added in round 5:
     # arbitrary bytes (with and without plausible magics) either parse or
@@ -137,3 +138,13 @@ def test_header_parsers_never_crash_on_junk(data, prefix):
         assert wh is None or (len(wh) == 2
                               and all(v is None or 0 <= v <= 0xFFFFFFFF
                                       for v in wh))
+    from pdf_parser_spark.operators.multimodal import (
+        parse_flac_streaminfo, parse_ogg_id,
+    )
+
+    for fn in (parse_flac_streaminfo, parse_ogg_id):
+        try:
+            m = fn(blob)
+            assert m["channels"] is None or 0 <= m["channels"] <= 256
+        except ValueError:
+            pass

@@ -748,6 +748,90 @@ class TestImageDimensions:
         assert tiff_sniff_dimensions(b"II*\x00\x08") is None
         assert tiff_sniff_dimensions(b"not a tiff at all") is None
 
+    def test_flac_streaminfo_edges(self):
+        # bitfield packing rebuilt here by hand (shift-by-shift, not via
+        # the fixture's single 64-bit pack) — independent of both
+        import struct
+
+        from pdf_parser_spark.operators.multimodal import (
+            parse_flac_streaminfo,
+        )
+
+        def flac(rate, ch, bits, total, first_type=0):
+            b18 = rate >> 12
+            b19 = (rate >> 4) & 0xFF
+            b20 = ((rate & 0xF) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4)
+            b21 = (((bits - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+            return (b"fLaC" + bytes([first_type]) + (34).to_bytes(3, "big")
+                    + struct.pack(">HH", 16, 65535) + b"\x00" * 6
+                    + bytes([b18, b19, b20, b21])
+                    + struct.pack(">I", total & 0xFFFFFFFF) + b"\x00" * 16)
+
+        m = parse_flac_streaminfo(flac(96000, 8, 32, (5 << 32) + 99))
+        assert (m["sample_rate"], m["channels"], m["bits_per_sample"]) == \
+            (96000, 8, 32)
+        # 36-bit total: (5<<32)+99 samples at 96 kHz
+        assert m["duration_ms"] == round(((5 << 32) + 99) * 1000 / 96000)
+        assert parse_flac_streaminfo(flac(8000, 1, 4, 0))["duration_ms"] is None
+        import pytest
+        with pytest.raises(ValueError):  # VORBIS_COMMENT first, not spec
+            parse_flac_streaminfo(flac(8000, 1, 16, 1, first_type=4))
+        with pytest.raises(ValueError):  # zero rate
+            parse_flac_streaminfo(flac(0, 1, 16, 1))
+        with pytest.raises(ValueError):
+            parse_flac_streaminfo(b"fLaC\x00\x00")
+        with pytest.raises(ValueError):
+            parse_flac_streaminfo(b"OggS junk")
+
+    def test_ogg_id_edges(self):
+        import struct
+
+        import pytest
+
+        from pdf_parser_spark.operators.multimodal import parse_ogg_id
+
+        def page(htype, granule, seq, pkt):
+            # test-local page builder: explicit lacing, zero CRC
+            segs, rem = [], len(pkt)
+            while True:
+                segs.append(min(rem, 255))
+                rem -= segs[-1]
+                if segs[-1] < 255:
+                    break
+            return (b"OggS\x00" + bytes([htype])
+                    + struct.pack("<QII", granule, 7, seq)
+                    + b"\x00" * 4 + bytes([len(segs)]) + bytes(segs) + pkt)
+
+        head = (b"OpusHead" + bytes([1, 6]) + struct.pack("<H", 120)
+                + struct.pack("<I", 24000) + b"\x00" * 3)
+        # last page carries granule -1 ("no packet ends"): the walk must
+        # fall back to the previous page's granule
+        stream = (page(2, 0, 0, head) + page(0, 96120, 1, b"d" * 10)
+                  + page(4, 0xFFFFFFFFFFFFFFFF, 2, b"e"))
+        m = parse_ogg_id(stream)
+        assert (m["kind"], m["channels"], m["sample_rate"]) == \
+            ("ogg-opus", 6, 24000)
+        assert m["duration_ms"] == round((96120 - 120) * 1000 / 48000)
+        # vorbis: granule ticks at the stream rate
+        vid = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+               + struct.pack("<I", 8000) + b"\x00" * 10)
+        mv = parse_ogg_id(page(2, 0, 0, vid) + page(4, 4100, 1, b"x" * 5))
+        # 4100*1000/8000 = 512.5: Python round() banker-rounds to 512
+        # (DuckDB rounds half away) — which is why the av fixture pins
+        # granules that never land on .5 (av_fixture.py docstring)
+        assert (mv["kind"], mv["channels"], mv["sample_rate"],
+                mv["duration_ms"]) == ("ogg-vorbis", 2, 8000, 512)
+        # truncated final page: its granule must NOT count
+        trunc = (page(2, 0, 0, head) + page(0, 48120, 1, b"d" * 10)
+                 + page(4, 960000, 2, b"f" * 50)[:40])
+        assert parse_ogg_id(trunc)["duration_ms"] == 1000
+        with pytest.raises(ValueError):
+            parse_ogg_id(page(2, 0, 0, b"NotAKnownIDPacket"))
+        with pytest.raises(ValueError):
+            parse_ogg_id(b"OggS\x01" + b"\x00" * 30)  # bad version
+        with pytest.raises(ValueError):
+            parse_ogg_id(b"RIFF" + b"\x00" * 30)
+
     def test_heif_sniffer_box_walk_edges(self):
         # built here with a test-local box packer, independent of BOTH the
         # fixture builder and the sniffer (the differential-anchor rule)
