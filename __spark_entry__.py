@@ -2564,7 +2564,10 @@ def oracle_sql() -> dict[str, str]:
           END AS channels,
           CASE WHEN media_kind = 'wav' THEN {le32(24)}::INT
                WHEN media_kind = 'flac' AND {_fok} THEN {_frate}::INT
+               -- a u32 rate past int32 is bogus -> NULL, mirroring the
+               -- parser's overflow guard
                WHEN media_kind IN ('ogg-opus', 'ogg-vorbis')
+                AND {tle32(f'{_p0}+12')} <= 2147483647
                  THEN {tle32(f'{_p0}+12')}::INT
           END AS sample_rate,
           CASE WHEN media_kind = 'wav' THEN {le16(34)}::INT
@@ -2580,7 +2583,7 @@ def oracle_sql() -> dict[str, str]:
                THEN CAST(round((lastg - {tle16(f'{_p0}+10')}) * 1000.0
                           / 48000) AS BIGINT)
                WHEN media_kind = 'ogg-vorbis' AND lastg > 0
-                AND {tle32(f'{_p0}+12')} > 0
+                AND {tle32(f'{_p0}+12')} BETWEEN 1 AND 2147483647
                THEN CAST(round(lastg * 1000.0 / {tle32(f'{_p0}+12')})
                          AS BIGINT)
           END AS duration_ms

@@ -165,6 +165,8 @@ def tiff_sniff_dimensions(b):
         w = h = None
         for i in range(cnt):
             e = ifd + 2 + 12 * i
+            if e + 12 > n:
+                break  # truncated trailing entry: keep what parsed so far
             tag, typ = u16(e), u16(e + 2)
             if tag > 257:
                 break  # IFD entries are sorted by tag (TIFF 6.0 §2)
@@ -493,6 +495,10 @@ def parse_ogg_id(payload: bytes) -> dict:
         rate = int.from_bytes(pkt[12:16], "little")
     else:
         raise ValueError("unrecognized Ogg identification packet")
+    if rate > 0x7FFFFFFF:
+        # a crafted u32 rate past int32 would overflow the result schema
+        # (the dimension gate's ANSI-overflow lesson): bogus rate -> NULL
+        rate = None
     pos = 0
     last = None
     while pos + 27 <= n and payload[pos:pos + 4] == b"OggS":
