@@ -2706,8 +2706,14 @@ def oracle_sql() -> dict[str, str]:
     o["media_metadata"] = f"""
         SELECT url, COALESCE(octet_length(html), 0) AS n_bytes,
           CASE
-            -- mp4 outranks every 4-byte prefix (mirrors the Spark side,
-            -- where the ftyp refinement is applied last = highest priority)
+            -- ftyp refinements outrank every 4-byte prefix (mirrors the
+            -- Spark side, where they are applied last = highest
+            -- priority); HEIF still-image brands outrank the mp4 label
+            WHEN substring(upper(hex(html)), 9, 8) = '66747970'
+             AND substring(upper(hex(html)), 17, 8) IN
+                 ('61766966','61766973','68656963','6865696D','68656973',
+                  '68656978','68657663','68657678','6D696631','6D736631')
+              THEN 'heif'
             WHEN substring(upper(hex(html)), 9, 8) = '66747970' THEN 'mp4'
             WHEN left(upper(hex(html)), 8) = '52494646'
              AND substring(upper(hex(html)), 17, 8) = '57454250' THEN 'webp'
@@ -2717,6 +2723,8 @@ def oracle_sql() -> dict[str, str]:
             WHEN left(upper(hex(html)), 8) = '47494638' THEN 'gif'
             WHEN left(upper(hex(html)), 8) = '52494646' THEN 'riff'
             WHEN left(upper(hex(html)), 8) = '504B0304' THEN 'zip'
+            WHEN left(upper(hex(html)), 8) = '664C6143' THEN 'flac'
+            WHEN left(upper(hex(html)), 8) = '4F676753' THEN 'ogg'
             WHEN left(upper(hex(html)), 8) IN ('3C21444F', '3C68746D') THEN 'html'
             ELSE 'unknown'
           END AS media_kind

@@ -47,6 +47,8 @@ _MAGICS = [
     ("gif", "47494638"),
     ("riff", "52494646"),       # wav/avi/webp container
     ("zip", "504B0304"),
+    ("flac", "664C6143"),       # fLaC
+    ("ogg", "4F676753"),        # OggS
     ("html", "3C21444F"),       # <!DO
     ("html", "3C68746D"),       # <htm
 ]
@@ -74,6 +76,14 @@ def media_metadata(df: DataFrame, bin_col: str = "html", key_col: str = "url") -
     kind = F.when(
         F.upper(F.hex(F.substring(F.col(bin_col), 5, 4))) == "66747970",
         F.lit("mp4"),
+    ).otherwise(kind)
+    # ISO-BMFF still images outrank the generic mp4 label (same brand
+    # gate as the dimension sniffer)
+    kind = F.when(
+        (F.upper(F.hex(F.substring(F.col(bin_col), 5, 4))) == "66747970")
+        & F.upper(F.hex(F.substring(F.col(bin_col), 9, 4))).isin(
+            *sorted(b.hex().upper() for b in _HEIF_BRANDS)),
+        F.lit("heif"),
     ).otherwise(kind)
     return df.select(
         F.col(key_col),

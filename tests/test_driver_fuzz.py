@@ -285,13 +285,21 @@ def _make_pages(tmpdir: str) -> None:
             f"/q{i}?x=1&y=2", "/",
         ])
         url = f"{scheme}://{host}{path}"
-        kind = rng.randrange(4)
+        kind = rng.randrange(7)
         if kind == 0:
             html = b"%PDF-1.4 fake body " + bytes([rng.randrange(256)] * 40)
         elif kind == 1:
             html = ("<html><body>" + rng.choice(bodies) + "</body></html>").encode()
         elif kind == 2:
             html = b""
+        elif kind == 3:  # media magics through the typed-metadata sniff
+            html = b"fLaC\x00\x00\x00\x22" + bytes(rng.randrange(20))
+        elif kind == 4:
+            html = b"OggS\x00\x02" + bytes(rng.randrange(30))
+        elif kind == 5:  # ftyp: HEIF still brand vs plain video brand
+            brand = rng.choice([b"avif", b"heic", b"isom", b"mp42"])
+            html = (b"\x00\x00\x00\x18ftyp" + brand + b"\x00\x00\x00\x00"
+                    + brand + bytes(rng.randrange(10)))
         else:
             html = bytes(rng.randrange(256) for _ in range(80))
         text = rng.choice(bodies) if "/feed/" in path else ""

@@ -512,6 +512,33 @@ class TestAudioSamples:
         assert rows["r"].media_kind == "riff" and rows["r"].n_samples is None
         assert rows["j"].media_kind == "unknown"
 
+    def test_media_metadata_kind_sniff(self, spark):
+        from pdf_parser_spark.operators.multimodal import media_metadata
+
+        rows = [
+            ("flac", b"fLaC\x00\x00\x00\x22" + b"\x00" * 10),
+            ("ogg", b"OggS\x00\x02" + b"\x00" * 10),
+            ("avif", b"\x00\x00\x00\x18ftypavif\x00\x00\x00\x00avif"),
+            ("heic", b"\x00\x00\x00\x18ftypheic\x00\x00\x00\x00heic"),
+            ("isom", b"\x00\x00\x00\x18ftypisom\x00\x00\x00\x00isom"),
+            ("wav", b"RIFF\x08\x00\x00\x00WAVE"),
+            ("none", None),
+        ]
+        df = spark.createDataFrame(
+            [(u, bytearray(b) if b is not None else None) for u, b in rows],
+            "url string, html binary",
+        )
+        got = {r.url: r for r in media_metadata(df).collect()}
+        # HEIF still-image brands outrank the generic mp4 label; plain
+        # video brands keep it
+        assert got["flac"].media_kind == "flac"
+        assert got["ogg"].media_kind == "ogg"
+        assert got["avif"].media_kind == "heif"
+        assert got["heic"].media_kind == "heif"
+        assert got["isom"].media_kind == "mp4"
+        assert got["wav"].media_kind == "riff"
+        assert got["none"].media_kind == "unknown" and got["none"].n_bytes == 0
+
 
 class TestImageDimensions:
     def test_matches_real_decoders_on_fixture(self, spark, tmp_path):
