@@ -2790,6 +2790,11 @@ def oracle_sql() -> dict[str, str]:
             (n >= 30 AND substring(H, 1, 8) = '52494646'
                      AND substring(H, 17, 8) = '57454250'
                      AND substring(H, 25, 8) = '56503858') AS is_vp8x,
+            (n >= 30 AND substring(H, 1, 8) = '52494646'
+                     AND substring(H, 17, 8) = '57454250'
+                     AND substring(H, 25, 8) = '56503820'
+                     AND substring(H, 47, 6) = '9D012A'
+                     AND {ib(20)} % 2 = 0) AS is_vp8,
             (n >= 26 AND substring(H, 1, 4) = '424D'
                      AND {ib(14)} IN (40, 52, 56, 108, 124)) AS is_bmp,
             (n >= 8 AND substring(H, 1, 8) = '00000100'
@@ -2949,6 +2954,7 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN is_png THEN 'png' WHEN is_gif THEN 'gif'
                WHEN is_vp8l THEN 'webp-vp8l'
                WHEN is_vp8x THEN 'webp-vp8x'
+               WHEN is_vp8 THEN 'webp-vp8'
                WHEN is_jpeg THEN 'jpeg'
                WHEN is_tiff THEN 'tiff'
                WHEN is_heif THEN 'heif'
@@ -2962,6 +2968,7 @@ def oracle_sql() -> dict[str, str]:
             WHEN is_vp8l THEN 1 + {ib(21)} + 256 * ({ib(22)} % 64)
             WHEN is_vp8x THEN 1 + {ib(24)} + 256 * {ib(25)}
                               + 65536 * {ib(26)}
+            WHEN is_vp8 THEN (COALESCE(TRY_CAST('0x' || substring(H, 53, 2) AS BIGINT), 0) + 256 * COALESCE(TRY_CAST('0x' || substring(H, 55, 2) AS BIGINT), 0)) % 16384
             WHEN is_jpeg THEN jdims.jw
             WHEN is_tiff THEN CASE
               WHEN tdims.tw BETWEEN 1 AND 2147483647
@@ -2981,6 +2988,7 @@ def oracle_sql() -> dict[str, str]:
                               + 1024 * ({ib(24)} % 16)
             WHEN is_vp8x THEN 1 + {ib(27)} + 256 * {ib(28)}
                               + 65536 * {ib(29)}
+            WHEN is_vp8 THEN (COALESCE(TRY_CAST('0x' || substring(H, 57, 2) AS BIGINT), 0) + 256 * COALESCE(TRY_CAST('0x' || substring(H, 59, 2) AS BIGINT), 0)) % 16384
             WHEN is_jpeg THEN jdims.jh
             WHEN is_tiff THEN CASE
               WHEN tdims.tw BETWEEN 1 AND 2147483647

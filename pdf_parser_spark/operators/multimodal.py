@@ -294,7 +294,9 @@ def image_dimensions(
       logical-screen little-endian 16-bit; simple-lossless WebP (VP8L
       14-bit packed width-1/height-1 across bytes 21-24); extended WebP
       (VP8X canvas width-1/height-1 as little-endian 24-bit at bytes
-      24-29 — covers animated/EXIF/alpha-flagged files); BMP
+      24-29 — covers animated/EXIF/alpha-flagged files); simple lossy
+      WebP ('VP8 ' keyframe: 14-bit little-endian dims at bytes 26-29
+      after the 0x9D012A sync code); BMP
       BITMAPINFOHEADER little-endian 32-bit at bytes 18-25 (negative
       height = top-down row order, reported as |height|); ICO first
       directory entry (byte 0 means 256).
@@ -334,6 +336,14 @@ def image_dimensions(
         & (hs(20, 1) == "2F")
     )
     is_vp8x = (n >= 30) & is_riff_webp & (hs(12, 4) == "56503858")
+    # simple LOSSY WebP ('VP8 ' chunk, the dominant WebP flavor): dims
+    # are 14-bit little-endian at bytes 26-29 (upper 2 bits are scale),
+    # valid only in a keyframe (frame-tag bit 0 == 0) after the
+    # 0x9D012A sync code — all fixed offsets, pure JVM
+    is_vp8 = (
+        (n >= 30) & is_riff_webp & (hs(12, 4) == "56503820")
+        & (hs(23, 3) == "9D012A") & (hb(20) % 2 == 0)
+    )
     is_bmp = (n >= 26) & (hs(0, 2) == "424D") & hb(14).isin(40, 52, 56, 108, 124)
     is_ico = (n >= 8) & (hs(0, 4) == "00000100") & (le(4, 2) >= 1)
     is_jpeg = (n >= 4) & (hs(0, 3) == "FFD8FF")
@@ -350,6 +360,7 @@ def image_dimensions(
         .when(is_gif, F.lit("gif"))
         .when(is_vp8l, F.lit("webp-vp8l"))
         .when(is_vp8x, F.lit("webp-vp8x"))
+        .when(is_vp8, F.lit("webp-vp8"))
         .when(is_jpeg, F.lit("jpeg"))
         .when(is_tiff, F.lit("tiff"))
         .when(is_heif, F.lit("heif"))
@@ -363,6 +374,7 @@ def image_dimensions(
         .when(is_gif, le(6, 2))
         .when(is_vp8l, 1 + hb(21) + 256 * (hb(22) % 64))
         .when(is_vp8x, 1 + le(24, 3))
+        .when(is_vp8, le(26, 2) % 16384)
         .when(is_bmp, le(18, 4))
         .when(is_ico, F.when(hb(6) == 0, F.lit(256)).otherwise(hb(6)))
     )
@@ -373,6 +385,7 @@ def image_dimensions(
               1 + F.shiftright(hb(22), 6) + 4 * hb(23)
               + 1024 * (hb(24) % 16))
         .when(is_vp8x, 1 + le(27, 3))
+        .when(is_vp8, le(28, 2) % 16384)
         .when(is_bmp,
               F.when(bmp_h_raw >= F.lit(2 ** 31),
                      F.lit(2 ** 32) - bmp_h_raw).otherwise(bmp_h_raw))

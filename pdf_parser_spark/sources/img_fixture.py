@@ -219,6 +219,24 @@ def _headers_only() -> list:
     riff_body = b"WEBP" + b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
     out.append(("y-vp8x-anim",
                 b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body))
+
+    # simple LOSSY WebP ('VP8 ' keyframe): 3-byte frame tag (bit 0 = 0
+    # keyframe), 0x9D012A sync, then 14-bit LE width/height whose upper
+    # 2 bits are the scale field — set to nonzero on purpose so the gate
+    # must mask them off; body truncated (lossy decode is the documented
+    # digest fallback)
+    def vp8_lossy(w: int, h: int, xscale: int = 1, yscale: int = 2) -> bytes:
+        frame = (b"\x50\x04\x00" + b"\x9d\x01\x2a"
+                 + struct.pack("<H", w | (xscale << 14))
+                 + struct.pack("<H", h | (yscale << 14)) + b"\x00" * 8)
+        body = b"WEBP" + b"VP8 " + struct.pack("<I", len(frame)) + frame
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    out.append(("ye-vp8-lossy", vp8_lossy(481, 359)))
+    # bad sync code: must NOT be classified webp-vp8 (kind 'other')
+    bad = bytearray(vp8_lossy(100, 100))
+    bad[24] = 0x9C
+    out.append(("yf-vp8-badsync", bytes(bad)))
     return out
 
 
@@ -331,7 +349,8 @@ def ensure_img_fixture(corpus_dir: str) -> str:
     # VP8X): dims come from fixed offsets or bounded header walks; the
     # feature path takes the digest fallback for all of them
     ext = {"t-bmp": "bmp", "u-bmp-topdown": "bmp", "v-ico": "ico",
-           "w-tiff-le": "tif", "x-tiff-be": "tif", "y-vp8x-anim": "webp"}
+           "w-tiff-le": "tif", "x-tiff-be": "tif", "y-vp8x-anim": "webp",
+           "ye-vp8-lossy": "webp", "yf-vp8-badsync": "webp"}
     rows += [(f"https://fixtures.test/img/{name}.{ext[name]}", data)
              for name, data in _headers_only()]
     # HEIF/AVIF headers for the dimension gate: ispe box walk, thumbnail

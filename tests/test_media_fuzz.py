@@ -113,7 +113,17 @@ def _rand_tiff(rng: random.Random) -> bytes:
 
 
 def _rand_fixed_offset_image(rng: random.Random) -> bytes:
-    kind = rng.randrange(5)
+    kind = rng.randrange(6)
+    if kind == 5:  # lossy VP8: scale bits set, keyframe bit, sync code
+        w = rng.randrange(1, 16384)
+        h = rng.randrange(1, 16384)
+        frame = (bytes([rng.choice([0x50, 0x00, 0x51]), 4, 0])
+                 + rng.choice([b"\x9d\x01\x2a", b"\x9c\x01\x2a"])
+                 + struct.pack("<H", w | (rng.randrange(4) << 14))
+                 + struct.pack("<H", h | (rng.randrange(4) << 14))
+                 + bytes(6))
+        body = b"WEBP" + b"VP8 " + struct.pack("<I", len(frame)) + frame
+        return b"RIFF" + struct.pack("<I", len(body)) + body
     if kind == 0:  # PNG, dims across the int32 edge
         w = rng.choice([1, 70000, 2**31 - 1, 2**31, 2**32 - 1])
         h = rng.choice([1, 3, 2**31 - 1, 2**32 - 1])

@@ -565,6 +565,10 @@ class TestImageDimensions:
             "w-tiff-le": ("tiff", 77, 3000),
             "x-tiff-be": ("tiff", 513, 21),
             "y-vp8x-anim": ("webp-vp8x", 400, 260),
+            # lossy VP8 keyframe: 14-bit dims with nonzero scale bits
+            # that the gate must mask off; a broken sync code is 'other'
+            # (checked via the kind=='other' branch below)
+            "ye-vp8-lossy": ("webp-vp8", 481, 359),
             # HEIF/AVIF: the largest ispe wins (za carries a 320x240
             # thumbnail property too); no iprp -> NULL dims; the isom
             # video brand lands in the kind=='other' branch below

@@ -158,7 +158,7 @@ class TestImgFixture:
         goldens = pq.read_table(
             p1.replace("media.parquet", "media_goldens.parquet")
         ).to_pydict()
-        assert media["url"] == goldens["url"] and len(media["url"]) == 26
+        assert media["url"] == goldens["url"] and len(media["url"]) == 32
         # every golden row re-derives from the kernel functions; PNG rows
         # must be REAL pixel features (differ from the digest fallback)
         n_real = 0
