@@ -1054,6 +1054,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return C.domain_stats(_pages(spark, sf_dir)).orderBy("host")
     q["clean_domain_stats"] = clean_domain_stats
 
+    def clean_gopher_gate(spark, sf_dir):
+        # the canonical Gopher quality rule set (word-count bounds, mean
+        # word length, symbol/bullet/ellipsis ratios, alpha-word fraction,
+        # stop-word presence) over the extraction output — the structural
+        # gate a curation pipeline runs right after extract, one fused plan
+        from pdf_parser_spark.operators.gopher import gopher_quality_gate
+
+        out = extract_pipeline(_pages(spark, sf_dir))
+        ok = out.where(F.col("status") == "ok").select("url", "text")
+        return gopher_quality_gate(ok).orderBy("url")
+    q["clean_gopher_gate"] = clean_gopher_gate
+
     # ---- multimodal -----------------------------------------------------------
     def media_metadata(spark, sf_dir):
         return M.media_metadata(_pages(spark, sf_dir)).orderBy("url")
@@ -1348,20 +1360,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # re-proves each round: least-recently-verified first.
 _VERIFY_FIRST = [
     # round-5 window. Slot budget (window = 50, driver checks first 50):
-    #   - 37 of the 41 queries last driver-verified in r3 (VERDICT r4 item 1)
+    #   - 36 of the 41 queries last driver-verified in r3 (VERDICT r4 item 1)
     #   - all 11 media_* queries: round 5 touches kernels/webp.py (ADVICE r4
     #     distance/TR fixes), kernels/mp4.py (co64), operators/multimodal.py
     #     (JPEG/BMP/ICO/TIFF/VP8X dims, MP3) — one shared import closure, so
     #     the freshness ledger forces every media query in-window
-    #   - 2 new-in-r5 queries (media_mp3_metadata, pipeline_curate_end2end)
-    # That sums to 50; the 4 r3-verified queries left OUT of the window
-    # (f3_magic_router, f4_extension_predicate, f5_empty_text_guard,
-    # p3_content_hash) are single-expression column ops, driver-green in BOTH
-    # r2 and r3, byte-identical golden tests in pytest, and their code is
-    # ledger-frozen (tools/freshness_ledger.py check == 0 violations).
+    #   - 3 new-in-r5 queries (media_mp3_metadata, pipeline_curate_end2end,
+    #     clean_gopher_gate)
+    # That sums to 50; the 5 r3-verified queries left OUT of the window
+    # (f1_f2_size_filter, f3_magic_router, f4_extension_predicate,
+    # f5_empty_text_guard, p3_content_hash) are single-expression column
+    # ops, driver-green in r3 AND at least one earlier round
+    # (f1_f2_size_filter in all of r1/r2/r3), byte-identical golden tests in
+    # pytest, and their code is ledger-frozen at the r3-verified commit
+    # b7a09fc4 (tools/freshness_ledger.py check == 0 violations proves their
+    # import closures are untouched since that verification).
     # r3-stale backlog, least-recently-verified evidence first:
     "extract_classic_pipeline", "extract_ai_pipeline", "ai_label_discovery",
-    "extract_error_accounting", "f1_f2_size_filter",
+    "extract_error_accounting",
     "dedup_clusters_capped", "ann_dup_clusters", "text_bpe_token_counts",
     "olap_event_pivot", "olap_event_moving_avg", "olap_event_cube",
     "olap_user_activity_fullouter", "set_ops_feed_vs_ok",
@@ -1382,7 +1398,7 @@ _VERIFY_FIRST = [
     "media_audio_features", "media_wav_metadata",
     # new in round 5 (fills the window to exactly 50; uncommented as each
     # query lands):
-    "media_mp3_metadata", "pipeline_curate_end2end",
+    "media_mp3_metadata", "pipeline_curate_end2end", "clean_gopher_gate",
 ]
 
 
@@ -2401,6 +2417,60 @@ def oracle_sql() -> dict[str, str]:
         SELECT regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)), ':(80|443)$', '') AS host,
                count(*) AS docs, round(avg(length(text)), 4) AS mean_chars
         FROM {pages} GROUP BY 1 ORDER BY host
+    """
+    # Gopher gate over the extraction goldens: same tokenization as
+    # pipeline_extract_dedup_chunk ('\\s+' split, empties dropped), same
+    # '#'/'...' symbol count as clean_repetition_flags; rule booleans on
+    # UNROUNDED doubles exactly like the Spark side
+    o["clean_gopher_gate"] = f"""
+        WITH ok AS (
+          SELECT url, golden_text AS text FROM {goldens}
+          WHERE golden_text IS NOT NULL
+        ), w AS (
+          SELECT url,
+            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+            string_split(text, chr(10)) AS lines,
+            length(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym
+          FROM ok
+        ), m AS (
+          SELECT url,
+            len(toks) AS n_words,
+            greatest(len(toks), 1)::DOUBLE AS nz,
+            COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE AS sum_len,
+            len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE AS n_alpha,
+            len(list_filter(toks, x -> list_contains(
+              ['the','be','to','of','and','that','have','with'], lower(x)))) AS n_stop,
+            n_sym,
+            len(lines) AS n_lines,
+            greatest(len(lines), 1)::DOUBLE AS nlz,
+            len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))::DOUBLE AS n_bullet,
+            len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))::DOUBLE AS n_ell
+          FROM w
+        ), r AS (
+          SELECT url, n_words, sum_len / nz AS mwl, n_alpha / nz AS fa,
+                 n_stop, n_sym / nz AS sr, n_lines,
+                 n_bullet / nlz AS fb, n_ell / nlz AS fe
+          FROM m
+        )
+        SELECT url, n_words,
+          round(mwl, 4) AS mean_word_len,
+          round(fa, 4) AS frac_alpha_words,
+          n_stop AS n_stop_hits,
+          round(sr, 4) AS symbol_ratio,
+          n_lines,
+          round(fb, 4) AS frac_bullet_lines,
+          round(fe, 4) AS frac_ellipsis_lines,
+          (n_words BETWEEN 50 AND 100000) AS rule_word_count,
+          (mwl BETWEEN 3.0 AND 10.0) AS rule_mean_word_len,
+          (sr <= 0.1) AS rule_symbol_ratio,
+          (fb <= 0.9) AS rule_bullet_lines,
+          (fe <= 0.3) AS rule_ellipsis_lines,
+          (fa >= 0.8) AS rule_alpha_words,
+          (n_stop >= 2) AS rule_stopwords,
+          (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+           AND sr <= 0.1 AND fb <= 0.9 AND fe <= 0.3 AND fa >= 0.8
+           AND n_stop >= 2) AS keep
+        FROM r ORDER BY url
     """
     # fake featurizer = sha256 over the lowercase-hex payload (multimodal.py
     # _fake_features chooses that exact digest input so this DuckDB sha256()

@@ -127,3 +127,70 @@ class TestLineDedup:
         out = {r.doc_id: r for r in line_dedup(df, max_doc_freq=1).collect()}
         # 'twice' occurs in only ONE doc (doc-frequency 1) -> both copies kept
         assert out[0].text_deduped == "twice\ntwice\nother"
+
+
+class TestGopherQualityGate:
+    """gopher.gopher_quality_gate — the canonical Gopher rule set
+    (Rae et al. 2021 A1.1) as pure JVM expressions."""
+
+    def _gate(self, spark, rows, **kw):
+        from pdf_parser_spark.operators.gopher import gopher_quality_gate
+
+        df = spark.createDataFrame(rows, "url string, text string")
+        return {r.url: r for r in gopher_quality_gate(df, **kw).collect()}
+
+    def test_good_doc_keeps(self, spark):
+        text = " ".join(
+            ["the quick brown fox jumps over"] * 10
+            + ["and that sentence must have enough words to pass with room"]
+        )
+        out = self._gate(spark, [("a", text)])["a"]
+        assert out.keep is True
+        assert out.n_words == 71
+        assert out.rule_word_count and out.rule_stopwords
+
+    def test_short_doc_fails_word_count_only(self, spark):
+        out = self._gate(spark, [("a", "the cat sat on the mat with joy")])["a"]
+        assert out.n_words == 8
+        assert out.rule_word_count is False
+        assert out.rule_stopwords is True  # 'the' x2 + 'with'
+        assert out.keep is False
+
+    def test_stopword_rule(self, spark):
+        # 60 alpha words, zero Gopher stop-words
+        text = " ".join(["lorem", "ipsum", "dolor"] * 20)
+        out = self._gate(spark, [("a", text)])["a"]
+        assert out.n_stop_hits == 0 and out.rule_stopwords is False
+        assert out.rule_word_count is True and out.keep is False
+
+    def test_bullet_and_ellipsis_line_ratios(self, spark):
+        lines = ["- item one", "* item two", "  • indented bullet",
+                 "trailing dots...", "unicode ellipsis…", "plain line"]
+        out = self._gate(spark, [("a", "\n".join(lines))])["a"]
+        assert out.n_lines == 6
+        assert out.frac_bullet_lines == pytest.approx(3 / 6, abs=1e-4)
+        assert out.frac_ellipsis_lines == pytest.approx(2 / 6, abs=1e-4)
+        assert out.rule_ellipsis_lines is False  # 0.3333 > 0.3
+
+    def test_symbol_ratio_counts_hash_and_dots(self, spark):
+        # 4 words, '##' = 2 symbols + one non-overlapping '...' = 3
+        out = self._gate(spark, [("a", "alpha ## beta... gamma delta")])["a"]
+        assert out.symbol_ratio == pytest.approx(3 / 5, abs=1e-4)
+        assert out.rule_symbol_ratio is False
+
+    def test_mean_word_len_and_alpha_fraction(self, spark):
+        out = self._gate(spark, [("a", "abcd 1234 ef12")])["a"]
+        assert out.mean_word_len == pytest.approx(4.0, abs=1e-4)
+        assert out.frac_alpha_words == pytest.approx(2 / 3, abs=1e-4)
+        assert out.rule_alpha_words is False
+
+    def test_empty_and_whitespace_text_rejected_not_crashed(self, spark):
+        out = self._gate(spark, [("a", ""), ("b", "   \n  ")])
+        for r in out.values():
+            assert r.n_words == 0 and r.keep is False
+            assert r.mean_word_len == 0.0 and r.symbol_ratio == 0.0
+
+    def test_thresholds_parameterized(self, spark):
+        text = "the cat sat on the mat with joy"
+        out = self._gate(spark, [("a", text)], min_words=5)["a"]
+        assert out.rule_word_count is True and out.keep is True
