@@ -56,10 +56,12 @@ from pdf_parser_spark.sources.mp4_fixture import (  # noqa: E402
     ensure_mp4_fixture, ensure_video_fixture,
 )
 
+from pdf_parser_spark.sources.exif_fixture import ensure_exif_fixture  # noqa: E402
 from pdf_parser_spark.sources.mp3_fixture import ensure_mp3_fixture  # noqa: E402
 
 AV_01 = ensure_av_fixture(CORPUS_01)
 MP3_01 = ensure_mp3_fixture(CORPUS_01)
+EXIF_01 = ensure_exif_fixture(CORPUS_01)
 IMG_01 = ensure_img_fixture(CORPUS_01)
 IMG_GOLDENS_01 = os.path.join(os.path.dirname(IMG_01), "media_goldens.parquet")
 MP4_01 = ensure_mp4_fixture(CORPUS_01)
@@ -1334,6 +1336,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return M.media_mp3_metadata(df, bin_col="payload").orderBy("url")
     q["media_mp3_metadata"] = media_mp3_metadata
 
+    def media_exif_metadata(spark, sf_dir):
+        # EXIF IFD walk (kernels/exif.py): JPEG APP1 marker walk or bare
+        # TIFF, both byte orders, inline + offset values, Exif sub-IFD.
+        # The fixture is an INDEPENDENT field-by-field assembler
+        # (sources/exif_fixture.py); the oracle re-derives every field
+        # with an endian-switched generate_series IFD walk over hex (the
+        # image_dimensions TIFF pattern) — only the canonical APP1
+        # positions (byte 2, or 20 after the fixed 18-byte JFIF APP0)
+        # come from the documented fixture layout.
+        from pdf_parser_spark.sources.exif_fixture import ensure_exif_fixture
+
+        path = ensure_exif_fixture(ensure_corpus(sf_dir))
+        df = spark.read.parquet(path)
+        return M.media_exif_metadata(df, bin_col="payload").orderBy("url")
+    q["media_exif_metadata"] = media_exif_metadata
+
     def pipeline_curate_end2end(spark, sf_dir):
         # the spark-submit curate job's EXACT composed plan (extract ->
         # normalized exact-dedup -> min-token gate -> deterministic
@@ -1360,19 +1378,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # re-proves each round: least-recently-verified first.
 _VERIFY_FIRST = [
     # round-5 window. Slot budget (window = 50, driver checks first 50):
-    #   - 36 of the 41 queries last driver-verified in r3 (VERDICT r4 item 1)
+    #   - 35 of the 41 queries last driver-verified in r3 (VERDICT r4 item 1)
     #   - all 11 media_* queries: round 5 touches kernels/webp.py (ADVICE r4
     #     distance/TR fixes), kernels/mp4.py (co64), operators/multimodal.py
     #     (JPEG/BMP/ICO/TIFF/VP8X dims, MP3) — one shared import closure, so
     #     the freshness ledger forces every media query in-window
-    #   - 3 new-in-r5 queries (media_mp3_metadata, pipeline_curate_end2end,
-    #     clean_gopher_gate)
-    # That sums to 50; the 5 r3-verified queries left OUT of the window
+    #   - 4 new-in-r5 queries (media_mp3_metadata, pipeline_curate_end2end,
+    #     clean_gopher_gate, media_exif_metadata)
+    # That sums to 50; the 6 r3-verified queries left OUT of the window
     # (f1_f2_size_filter, f3_magic_router, f4_extension_predicate,
-    # f5_empty_text_guard, p3_content_hash) are single-expression column
-    # ops, driver-green in r3 AND at least one earlier round
-    # (f1_f2_size_filter in all of r1/r2/r3), byte-identical golden tests in
-    # pytest, and their code is ledger-frozen at the r3-verified commit
+    # f5_empty_text_guard, p3_content_hash, clean_domain_stats) are
+    # single-expression column ops or one-row aggregates, driver-green in
+    # r3 AND at least one earlier round (f1_f2_size_filter in all of
+    # r1/r2/r3; clean_domain_stats in r1+r3), byte-identical golden tests
+    # in pytest, and their code is ledger-frozen at the r3-verified commit
     # b7a09fc4 (tools/freshness_ledger.py check == 0 violations proves their
     # import closures are untouched since that verification).
     # r3-stale backlog, least-recently-verified evidence first:
@@ -1389,7 +1408,7 @@ _VERIFY_FIRST = [
     "temporal_asof_join", "temporal_interval_join", "temporal_sessionize",
     "temporal_session_window_native", "clean_canonical_url",
     "clean_scrub_pii", "clean_repetition_flags", "clean_stopword_stats",
-    "clean_line_dedup", "clean_domain_stats", "sql_udf_extract_text",
+    "clean_line_dedup", "sql_udf_extract_text",
     "sql_udtf_field_rows", "stream_extract_lift",
     # media closure changed in r5 (webp/mp4/multimodal edits):
     "media_metadata", "media_image_dimensions", "media_image_real_features",
@@ -1399,6 +1418,7 @@ _VERIFY_FIRST = [
     # new in round 5 (fills the window to exactly 50; uncommented as each
     # query lands):
     "media_mp3_metadata", "pipeline_curate_end2end", "clean_gopher_gate",
+    "media_exif_metadata",
 ]
 
 
@@ -3257,5 +3277,146 @@ def oracle_sql() -> dict[str, str]:
                  WHEN tags.id2 = 'TPE1' THEN tags.txt2 END
           END AS artist
         FROM w LEFT JOIN tags ON w.url = tags.url ORDER BY w.url
+    """
+
+    # EXIF: endian-switched IFD0 + Exif-sub-IFD walk over hex, reusing the
+    # u16x/u32x dynamic-offset readers from the image_dimensions TIFF
+    # oracle. Only the TIFF-base positions are canonical fixture layout
+    # (sources/exif_fixture.py: APP1 first at byte 2, or at 20 after the
+    # fixed 18-byte JFIF APP0; bare TIFF at 0); every tag/type/count/value
+    # — including inline-vs-offset ASCII — is re-derived from bytes.
+    def sascx(off: str, cnt: str) -> str:
+        # NUL-terminated ASCII entry value (canonical single trailing NUL)
+        return (f"decode(unhex(substring(H, CAST(2*({off})+1 AS INT), "
+                f"CAST(2*greatest(({cnt})-1, 0) AS INT))))")
+
+    o["media_exif_metadata"] = f"""
+        WITH p AS (
+          SELECT url, upper(hex(payload)) AS H,
+                 COALESCE(octet_length(payload), 0) AS n
+          FROM read_parquet('{EXIF_01}')
+        ),
+        b AS (
+          SELECT url, H, n,
+            CASE
+              WHEN substring(H, 1, 8) IN ('49492A00', '4D4D002A') THEN 0
+              WHEN substring(H, 1, 4) = 'FFD8' AND substring(H, 5, 4) = 'FFE1'
+                   AND substring(H, 13, 12) = '457869660000' THEN 12
+              WHEN substring(H, 1, 4) = 'FFD8' AND substring(H, 5, 4) = 'FFE0'
+                   AND substring(H, 41, 4) = 'FFE1'
+                   AND substring(H, 49, 12) = '457869660000' THEN 30
+            END AS tb
+          FROM p
+        ),
+        t AS (
+          SELECT url, H, n, tb, substring(H, 2*tb+1, 4) = '4949' AS le
+          FROM b WHERE tb IS NOT NULL AND tb + 8 <= n
+        ),
+        t2 AS (
+          SELECT url, H, n, tb, le, tb + {u32x('tb + 4')} AS ifd
+          FROM t WHERE {u16x('tb + 2')} = 42
+        ),
+        t3 AS (
+          SELECT *, CASE WHEN ifd + 2 <= n THEN {u16x('ifd')} ELSE 0 END AS n0
+          FROM t2
+        ),
+        e0 AS (
+          SELECT url, H, n, tb, le, ifd + 2 + 12*i.range AS e
+          FROM t3 CROSS JOIN range(0, 64) i
+          WHERE i.range < n0 AND ifd + 2 + 12*i.range + 12 <= n
+        ),
+        v0 AS (
+          SELECT url, H, tb, le,
+                 {u16x('e')} AS tag, {u16x('e + 2')} AS typ,
+                 {u32x('e + 4')} AS cnt,
+                 -- numeric value: inline when size*count <= 4, else the
+                 -- FIRST element at the spill offset (the kernel's rule)
+                 CASE WHEN {u16x('e + 2')} = 3 THEN
+                        CASE WHEN 2 * {u32x('e + 4')} <= 4
+                             THEN {u16x('e + 8')}
+                             ELSE {u16x(f"tb + {u32x('e + 8')}")} END
+                      WHEN {u16x('e + 2')} = 4 THEN
+                        CASE WHEN 4 * {u32x('e + 4')} <= 4
+                             THEN {u32x('e + 8')}
+                             ELSE {u32x(f"tb + {u32x('e + 8')}")} END
+                 END AS ival,
+                 CASE WHEN {u32x('e + 4')} <= 4 THEN e + 8
+                      ELSE tb + {u32x('e + 8')} END AS soff
+          FROM e0
+        ),
+        v1 AS (
+          SELECT url, tag, typ, cnt, ival,
+                 CASE WHEN typ = 2 THEN {sascx('soff', 'cnt')} END AS sval
+          FROM v0
+        ),
+        a0 AS (
+          SELECT url,
+            max(CASE WHEN tag = 271 THEN sval END) AS make,
+            max(CASE WHEN tag = 272 THEN sval END) AS model,
+            max(CASE WHEN tag = 274 THEN ival END) AS orientation,
+            max(CASE WHEN tag = 305 THEN sval END) AS software,
+            max(CASE WHEN tag = 306 THEN sval END) AS dt,
+            max(CASE WHEN tag = 34665 THEN ival END) AS exif_ptr
+          FROM v1 GROUP BY url
+        ),
+        s0 AS (
+          SELECT t3.url, t3.H, t3.n, t3.tb, t3.le,
+                 t3.tb + a0.exif_ptr AS sifd
+          FROM t3 JOIN a0 ON t3.url = a0.url
+          WHERE a0.exif_ptr IS NOT NULL
+        ),
+        s1 AS (
+          SELECT *, CASE WHEN sifd + 2 <= n THEN {u16x('sifd')} ELSE 0 END
+                    AS n1
+          FROM s0
+        ),
+        e1 AS (
+          SELECT url, H, n, tb, le, sifd + 2 + 12*i.range AS e
+          FROM s1 CROSS JOIN range(0, 64) i
+          WHERE i.range < n1 AND sifd + 2 + 12*i.range + 12 <= n
+        ),
+        w0 AS (
+          SELECT url, H, tb, le,
+                 {u16x('e')} AS tag, {u16x('e + 2')} AS typ,
+                 {u32x('e + 4')} AS cnt,
+                 CASE WHEN {u16x('e + 2')} = 3 THEN
+                        CASE WHEN 2 * {u32x('e + 4')} <= 4
+                             THEN {u16x('e + 8')}
+                             ELSE {u16x(f"tb + {u32x('e + 8')}")} END
+                      WHEN {u16x('e + 2')} = 4 THEN
+                        CASE WHEN 4 * {u32x('e + 4')} <= 4
+                             THEN {u32x('e + 8')}
+                             ELSE {u32x(f"tb + {u32x('e + 8')}")} END
+                 END AS ival,
+                 CASE WHEN {u32x('e + 4')} <= 4 THEN e + 8
+                      ELSE tb + {u32x('e + 8')} END AS soff
+          FROM e1
+        ),
+        w1 AS (
+          SELECT url, tag, ival,
+                 CASE WHEN typ = 2 THEN {sascx('soff', 'cnt')} END AS sval
+          FROM w0
+        ),
+        a1 AS (
+          SELECT url,
+            max(CASE WHEN tag = 36867 THEN sval END) AS datetime_original,
+            max(CASE WHEN tag = 40962 THEN ival END) AS pixel_x,
+            max(CASE WHEN tag = 40963 THEN ival END) AS pixel_y
+          FROM w1 GROUP BY url
+        )
+        SELECT p.url,
+          CASE WHEN t3.url IS NOT NULL THEN 'exif' ELSE 'unknown' END
+            AS media_kind,
+          CASE WHEN t3.url IS NOT NULL THEN
+            CASE WHEN t3.le THEN 'II' ELSE 'MM' END END AS endian,
+          a0.make, a0.model, a0.orientation, a0.software,
+          a0.dt AS "datetime",
+          a1.datetime_original, a1.pixel_x, a1.pixel_y,
+          t3.n0 AS n_ifd0_entries
+        FROM p
+        LEFT JOIN t3 ON p.url = t3.url
+        LEFT JOIN a0 ON p.url = a0.url
+        LEFT JOIN a1 ON p.url = a1.url
+        ORDER BY p.url
     """
     return o

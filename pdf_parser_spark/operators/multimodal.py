@@ -692,6 +692,56 @@ def media_av_metadata(
     return df.select(key_col, bin_col).mapInPandas(kernel, AV_SCHEMA)
 
 
+EXIF_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("media_kind", StringType()),
+    StructField("endian", StringType()),
+    StructField("make", StringType()),
+    StructField("model", StringType()),
+    # LongType: a crafted file can declare Orientation as LONG 2^32-1,
+    # which must land as a value, not an Arrow int32 overflow (fuzz-found)
+    StructField("orientation", LongType()),
+    StructField("software", StringType()),
+    StructField("datetime", StringType()),
+    StructField("datetime_original", StringType()),
+    StructField("pixel_x", LongType()),
+    StructField("pixel_y", LongType()),
+    StructField("n_ifd0_entries", IntegerType()),
+])
+
+
+def media_exif_metadata(
+    df: DataFrame, bin_col: str = "html", key_col: str = "url"
+) -> DataFrame:
+    """Typed EXIF metadata over opaque binary payloads: JPEG APP1 marker
+    walk or bare-TIFF header, endian-aware IFD0 + Exif-sub-IFD decode
+    (kernels/exif.py) — camera make/model, orientation, timestamps,
+    recorded pixel dimensions. Header-walk only, no image decode. Per-row
+    isolation: non-EXIF payloads yield NULL fields with kind 'unknown',
+    never a task failure.
+    """
+    from ..kernels.exif import EXIF_FIELDS, ExifError, parse_exif
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict = {f.name: [] for f in EXIF_SCHEMA.fields}
+            for url, payload in zip(pdf[key_col], pdf[bin_col]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    meta = parse_exif(payload)
+                    kind = "exif"
+                except ExifError:
+                    meta = None
+                    kind = "unknown"
+                out["url"].append(url)
+                out["media_kind"].append(kind)
+                for f in EXIF_FIELDS:
+                    out[f].append(meta[f] if meta else None)
+            yield pd.DataFrame(out)
+
+    return df.select(key_col, bin_col).mapInPandas(kernel, EXIF_SCHEMA)
+
+
 MP3_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("media_kind", StringType()),

@@ -266,6 +266,110 @@ def _audio_rows(rng: random.Random, n: int) -> list:
     return rows
 
 
+# ------------------------------------------------------------------ exif
+# Well-formed-per-contract EXIF: canonical APP1 positions (first segment,
+# or after the fixed 18-byte JFIF APP0), unique sorted tags, printable
+# ASCII with a single trailing NUL, every structure fully in bounds (the
+# out-of-bounds paths are the kernel's typed failures, pinned in
+# tests/test_exif.py). Adversarial VALUES: wrong-typed tags, unknown
+# types, numeric arrays that spill out of line, dims across uint32,
+# empty IFDs, sub-IFD placed BEFORE IFD0.
+_EXIF_CHARS = ("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+               " 0123456789:._-")
+
+
+def _exif_pack_ifd(e: str, base: int, specs: list) -> bytes:
+    """specs = [(tag, typ, raw_value_bytes, count)]; base = IFD offset
+    relative to the TIFF header. Spill lands right after the IFD."""
+    n = len(specs)
+    val_off = base + 2 + 12 * n + 4
+    body, spill = b"", b""
+    for tag, typ, raw, cnt in specs:
+        if len(raw) <= 4:
+            field = raw + b"\x00" * (4 - len(raw))
+        else:
+            field = struct.pack(e + "I", val_off + len(spill))
+            spill += raw
+        body += struct.pack(e + "HHI", tag, typ, cnt) + field
+    return struct.pack(e + "H", n) + body + struct.pack(e + "I", 0) + spill
+
+
+def _exif_specs(rng: random.Random, e: str, tags: list) -> list:
+    specs = []
+    for tag in tags:
+        kind = rng.random()
+        if kind < 0.12:  # unknown type: must be skipped by both sides
+            specs.append((tag, rng.choice([0, 11, 13, 200]),
+                          bytes(rng.randrange(256) for _ in range(4)), 1))
+            continue
+        str_tag = tag in (271, 272, 305, 306, 36867)
+        if kind < 0.27:  # wrong-typed probe: value must land as NULL
+            str_tag = not str_tag
+        if str_tag:
+            s = "".join(rng.choice(_EXIF_CHARS)
+                        for _ in range(rng.randrange(0, 19)))
+            raw = s.encode() + b"\x00"
+            specs.append((tag, 2, raw, len(raw)))
+        else:
+            typ = rng.choice([3, 3, 4])
+            cnt = rng.choice([1, 1, 1, 2, 3])
+            hi = 65536 if typ == 3 else 2 ** 32
+            vals = [rng.choice([0, 1, 6, 255, hi - 1,
+                                rng.randrange(hi)])] \
+                + [rng.randrange(hi) for _ in range(cnt - 1)]
+            fmt = "H" if typ == 3 else "I"
+            raw = b"".join(struct.pack(e + fmt, v) for v in vals)
+            specs.append((tag, typ, raw, cnt))
+    return specs
+
+
+def _rand_exif_tiff(rng: random.Random) -> bytes:
+    e = rng.choice(["<", ">"])
+    order = b"II" if e == "<" else b"MM"
+    ifd0_tags = sorted(rng.sample([271, 272, 274, 305, 306, 0x9999],
+                                  rng.randrange(0, 6)))
+    blob_parts = []
+    sub_off = None
+    if rng.random() < 0.7:
+        sub_tags = sorted(rng.sample([36867, 40962, 40963],
+                                     rng.randrange(0, 4)))
+        sub_off = 8
+        sub = _exif_pack_ifd(e, 8, _exif_specs(rng, e, sub_tags))
+        blob_parts.append(sub)
+        ifd0_off = 8 + len(sub)
+    else:
+        ifd0_off = 8 + rng.choice([0, 4])  # optional pad before IFD0
+        blob_parts.append(b"\x00" * (ifd0_off - 8))
+    specs = _exif_specs(rng, e, ifd0_tags)
+    if sub_off is not None:
+        specs.append((0x8769, 4, struct.pack(e + "I", sub_off), 1))
+    blob_parts.append(_exif_pack_ifd(e, ifd0_off, specs))
+    return (order + struct.pack(e + "H", 42)
+            + struct.pack(e + "I", ifd0_off) + b"".join(blob_parts))
+
+
+_FUZZ_JFIF_APP0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+                   + bytes((1, 2, 0)) + struct.pack(">HH", 72, 72)
+                   + bytes((0, 0)))
+
+
+def _rand_exif_payload(rng: random.Random) -> bytes:
+    r = rng.random()
+    if r < 0.1:
+        return bytes(rng.randrange(256) for _ in range(rng.randrange(40)))
+    if r < 0.18:
+        return b"\xff\xd8" + _FUZZ_JFIF_APP0 + b"\xff\xd9"  # no EXIF
+    tiff = _rand_exif_tiff(rng)
+    if r < 0.42:
+        return tiff  # bare TIFF container
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    tail = b"\xff\xd9" if rng.random() < 0.7 else b""
+    if r < 0.72:
+        return b"\xff\xd8" + app1 + tail
+    return b"\xff\xd8" + _FUZZ_JFIF_APP0 + app1 + tail
+
+
 # -------------------------------------------------------------- plumbing
 def _write_media(tmpdir: str, sub: str, rows: list,
                  extra_goldens: tuple = ()) -> str:
@@ -340,6 +444,26 @@ def test_av_metadata_differential_fuzz(spark, tmp_path_factory, seed):
     finally:
         entrymod.ensure_corpus = orig
     sql = oracles["media_wav_metadata"].replace(entrymod.AV_01, path)
+    ddf = _canon(duckdb.connect().execute(sql).df())
+    bad = _diff(sdf, ddf)
+    assert bad == [], bad[:10]
+
+
+@pytest.mark.parametrize("seed", [SEED])
+def test_exif_metadata_differential_fuzz(spark, tmp_path_factory, seed):
+    rng = random.Random(seed + 2)
+    d = str(tmp_path_factory.mktemp("media_fuzz_exif"))
+    rows = [(f"https://fuzz.test/exif/{i:04d}", _rand_exif_payload(rng))
+            for i in range(120)]
+    path = _write_media(d, "exif", rows)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    orig = entrymod.ensure_corpus
+    entrymod.ensure_corpus = lambda _sf: d
+    try:
+        sdf = _canon(qs["media_exif_metadata"](spark, d).toPandas())
+    finally:
+        entrymod.ensure_corpus = orig
+    sql = oracles["media_exif_metadata"].replace(entrymod.EXIF_01, path)
     ddf = _canon(duckdb.connect().execute(sql).df())
     bad = _diff(sdf, ddf)
     assert bad == [], bad[:10]
