@@ -30,10 +30,22 @@ def _random_docs(seed: int, n: int = 40):
         body = " ".join(rng.choice(words) for _ in range(k))
         if rng.random() < 0.15:
             body = body + " " + body  # duplication pressure
+        if rng.random() < 0.3:
+            # multi-line structure for the line-ratio rules: bullets,
+            # ellipsis endings, '#' symbols, stop-words, blank lines
+            lines = []
+            for _ in range(rng.randrange(1, 7)):
+                core = " ".join(rng.choice(words + ["the", "of", "and"])
+                                for _ in range(rng.randrange(0, 6)))
+                pre = rng.choice(["", "- ", "* ", "  • ", "# "])
+                post = rng.choice(["", "...", "…", " ..."])
+                lines.append(pre + core + post)
+            body = "\n".join([body] + lines)
         docs.append((i, body))
     docs.append((n, ""))  # empty
     docs.append((n + 1, "   "))
     docs.append((n + 2, "repeat " * 50))
+    docs.append((n + 3, "\n\n- only bullets...\n* again…\n"))
     return docs
 
 
@@ -108,3 +120,34 @@ class TestOracleFuzz:
                for r in exact_dedup(df).collect()}
         want = {tuple(r) for r in con.execute(_oracle("dedup_exact")).fetchall()}
         assert got == want
+
+    def test_gopher_gate_rules(self, tables):
+        import math
+        import re
+
+        from pdf_parser_spark.operators.gopher import gopher_quality_gate
+
+        df, con = tables
+        got = {
+            r.url: tuple(r)[1:]
+            for r in gopher_quality_gate(
+                df.selectExpr("doc_id AS url", "text")
+            ).collect()
+        }
+        # the driver oracle reads the extract goldens; point its `ok` CTE
+        # at the fuzz documents table instead (same math, same aliases)
+        sql = re.sub(
+            r"SELECT url, golden_text AS text FROM read_parquet\('[^']+'\)"
+            r"\s+WHERE golden_text IS NOT NULL",
+            "SELECT doc_id AS url, text FROM documents",
+            _oracle("clean_gopher_gate"),
+        )
+        assert "documents" in sql  # the rewrite must have matched
+        want = {row[0]: tuple(row[1:]) for row in con.execute(sql).fetchall()}
+        assert set(got) == set(want)
+        for k in got:
+            for a, b in zip(got[k], want[k]):
+                if isinstance(a, float) or isinstance(b, float):
+                    assert math.isclose(a, b, abs_tol=1e-9), (k, a, b)
+                else:
+                    assert a == b, (k, got[k], want[k])
