@@ -58,10 +58,12 @@ from pdf_parser_spark.sources.mp4_fixture import (  # noqa: E402
 
 from pdf_parser_spark.sources.exif_fixture import ensure_exif_fixture  # noqa: E402
 from pdf_parser_spark.sources.mp3_fixture import ensure_mp3_fixture  # noqa: E402
+from pdf_parser_spark.sources.pdfinfo_fixture import ensure_pdfinfo_fixture  # noqa: E402
 
 AV_01 = ensure_av_fixture(CORPUS_01)
 MP3_01 = ensure_mp3_fixture(CORPUS_01)
 EXIF_01 = ensure_exif_fixture(CORPUS_01)
+PDFINFO_01 = ensure_pdfinfo_fixture(CORPUS_01)
 IMG_01 = ensure_img_fixture(CORPUS_01)
 IMG_GOLDENS_01 = os.path.join(os.path.dirname(IMG_01), "media_goldens.parquet")
 MP4_01 = ensure_mp4_fixture(CORPUS_01)
@@ -1352,6 +1354,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return M.media_exif_metadata(df, bin_col="payload").orderBy("url")
     q["media_exif_metadata"] = media_exif_metadata
 
+    def pdf_info_metadata(spark, sf_dir):
+        # PDF document-information walk (kernels/pdfinfo.py): header
+        # version, trailer -> /Info and /Root refs resolved generically,
+        # literal+hex strings with escape handling, Root -> Pages ->
+        # /Count, /Encrypt flag. The fixture is an INDEPENDENT serializer
+        # with canonical object numbering (Info=1, Catalog=2, Pages=3),
+        # which is what lets the DuckDB oracle use constant hex patterns
+        # while the kernel follows the refs for real.
+        from pdf_parser_spark.sources.pdfinfo_fixture import (
+            ensure_pdfinfo_fixture,
+        )
+
+        path = ensure_pdfinfo_fixture(ensure_corpus(sf_dir))
+        df = spark.read.parquet(path)
+        return M.pdf_info_metadata(df, bin_col="payload").orderBy("url")
+    q["pdf_info_metadata"] = pdf_info_metadata
+
     def pipeline_curate_end2end(spark, sf_dir):
         # the spark-submit curate job's EXACT composed plan (extract ->
         # normalized exact-dedup -> min-token gate -> deterministic
@@ -1378,20 +1397,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # re-proves each round: least-recently-verified first.
 _VERIFY_FIRST = [
     # round-5 window. Slot budget (window = 50, driver checks first 50):
-    #   - 35 of the 41 queries last driver-verified in r3 (VERDICT r4 item 1)
+    #   - 34 of the 41 queries last driver-verified in r3 (VERDICT r4 item 1)
     #   - all 11 media_* queries: round 5 touches kernels/webp.py (ADVICE r4
     #     distance/TR fixes), kernels/mp4.py (co64), operators/multimodal.py
     #     (JPEG/BMP/ICO/TIFF/VP8X dims, MP3) — one shared import closure, so
     #     the freshness ledger forces every media query in-window
-    #   - 4 new-in-r5 queries (media_mp3_metadata, pipeline_curate_end2end,
-    #     clean_gopher_gate, media_exif_metadata)
-    # That sums to 50; the 6 r3-verified queries left OUT of the window
+    #   - 5 new-in-r5 queries (media_mp3_metadata, pipeline_curate_end2end,
+    #     clean_gopher_gate, media_exif_metadata, pdf_info_metadata)
+    # That sums to 50; the 7 r3-verified queries left OUT of the window
     # (f1_f2_size_filter, f3_magic_router, f4_extension_predicate,
-    # f5_empty_text_guard, p3_content_hash, clean_domain_stats) are
-    # single-expression column ops or one-row aggregates, driver-green in
-    # r3 AND at least one earlier round (f1_f2_size_filter in all of
-    # r1/r2/r3; clean_domain_stats in r1+r3), byte-identical golden tests
-    # in pytest, and their code is ledger-frozen at the r3-verified commit
+    # f5_empty_text_guard, p3_content_hash, clean_domain_stats,
+    # clean_canonical_url) are single-expression column ops or one-row
+    # aggregates, driver-green in r3 AND at least one earlier round
+    # (f1_f2_size_filter in all of r1/r2/r3; clean_domain_stats and
+    # clean_canonical_url in r1+r3), byte-identical golden tests in
+    # pytest, and their code is ledger-frozen at the r3-verified commit
     # b7a09fc4 (tools/freshness_ledger.py check == 0 violations proves their
     # import closures are untouched since that verification).
     # r3-stale backlog, least-recently-verified evidence first:
@@ -1406,7 +1426,7 @@ _VERIFY_FIRST = [
     "shape_deterministic_sample", "olap_pricing_summary",
     "olap_regional_revenue", "olap_value_quantiles", "olap_order_priority",
     "temporal_asof_join", "temporal_interval_join", "temporal_sessionize",
-    "temporal_session_window_native", "clean_canonical_url",
+    "temporal_session_window_native",
     "clean_scrub_pii", "clean_repetition_flags", "clean_stopword_stats",
     "clean_line_dedup", "sql_udf_extract_text",
     "sql_udtf_field_rows", "stream_extract_lift",
@@ -1418,7 +1438,7 @@ _VERIFY_FIRST = [
     # new in round 5 (fills the window to exactly 50; uncommented as each
     # query lands):
     "media_mp3_metadata", "pipeline_curate_end2end", "clean_gopher_gate",
-    "media_exif_metadata",
+    "media_exif_metadata", "pdf_info_metadata",
 ]
 
 
@@ -3418,5 +3438,69 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN a0 ON p.url = a0.url
         LEFT JOIN a1 ON p.url = a1.url
         ORDER BY p.url
+    """
+
+    # PDF Info metadata over hex with alignment-anchored RE2 patterns.
+    # Canonical fixture layout (sources/pdfinfo_fixture.py): Info is
+    # object 1, Pages is object 3, one space between key and value, flat
+    # trailer dicts, ASCII strings escaping only inner parens. The string
+    # body class excludes BOTH 29 (an unescaped ')') and 5C so escape
+    # pairs can only be consumed whole (RE2 has no lookahead; a lazy
+    # match would otherwise stop at an escaped paren). The '^([0-9A-F]
+    # {2})*' prefix forces byte alignment so a pattern can never match
+    # between two hex pairs.
+    def pstr(key_hex: str) -> str:
+        lit = (f"regexp_extract(info_hx, '{key_hex}2028"
+               f"((?:5C28|5C29|5C5C|2[0-8A-F]|5[0-9ABDEF]|"
+               f"[01346-9A-F][0-9A-F])*?)29', 1)")
+        lit = (f"decode(unhex(replace(replace(replace({lit}, "
+               f"'5C28', '28'), '5C29', '29'), '5C5C', '5C')))")
+        hexs = (f"regexp_extract(info_hx, '{key_hex}203C"
+                f"((?:[0-9A-F]{{2}})*?)3E', 1)")
+        hexs = f"decode(unhex(decode(unhex({hexs}))))"
+        return f"COALESCE(NULLIF({lit}, ''), NULLIF({hexs}, ''))"
+
+    o["pdf_info_metadata"] = f"""
+        WITH p AS (
+          SELECT url, upper(hex(payload)) AS H
+          FROM read_parquet('{PDFINFO_01}')
+        ),
+        b AS (
+          SELECT url, H,
+            substring(H, 1, 10) = '255044462D' AS hdr,
+            regexp_extract(H,
+              '^(?:[0-9A-F]{{2}})*(747261696C6572(?:[0-9A-F]{{2}})*?3E3E)',
+              1) AS tr
+          FROM p
+        ),
+        v AS (
+          SELECT url, H, tr, (hdr AND tr <> '') AS ok FROM b
+        ),
+        d AS (
+          SELECT url, H, tr, ok,
+            regexp_extract(H, '^(?:[0-9A-F]{{2}})*?(?:0A|0D)312030206F626A'
+              || '(?:[0-9A-F]{{2}})*?3C3C((?:[0-9A-F]{{2}})*?)3E3E', 1)
+              AS info_hx,
+            regexp_extract(H, '^(?:[0-9A-F]{{2}})*?(?:0A|0D)332030206F626A'
+              || '(?:[0-9A-F]{{2}})*?3C3C((?:[0-9A-F]{{2}})*?)3E3E', 1)
+              AS pages_hx
+          FROM v
+        )
+        SELECT url,
+          CASE WHEN ok THEN 'pdf' ELSE 'unknown' END AS media_kind,
+          CASE WHEN ok THEN decode(unhex(substring(H, 11, 6))) END
+            AS pdf_version,
+          CASE WHEN ok THEN {pstr('2F5469746C65')} END AS title,
+          CASE WHEN ok THEN {pstr('2F417574686F72')} END AS author,
+          CASE WHEN ok THEN {pstr('2F50726F6475636572')} END AS producer,
+          CASE WHEN ok THEN {pstr('2F4372656174696F6E44617465')} END
+            AS creation_date,
+          CASE WHEN ok THEN TRY_CAST(decode(unhex(regexp_extract(pages_hx,
+            '2F436F756E7420((?:3[0-9])+)', 1))) AS BIGINT) END AS n_pages,
+          CASE WHEN ok THEN contains(tr, '2F456E6372797074') END
+            AS encrypted,
+          CASE WHEN ok THEN contains(tr, '2F496E666F203120302052') END
+            AS has_info
+        FROM d ORDER BY url
     """
     return o

@@ -742,6 +742,53 @@ def media_exif_metadata(
     return df.select(key_col, bin_col).mapInPandas(kernel, EXIF_SCHEMA)
 
 
+PDFINFO_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("media_kind", StringType()),
+    StructField("pdf_version", StringType()),
+    StructField("title", StringType()),
+    StructField("author", StringType()),
+    StructField("producer", StringType()),
+    StructField("creation_date", StringType()),
+    StructField("n_pages", LongType()),
+    StructField("encrypted", BooleanType()),
+    StructField("has_info", BooleanType()),
+])
+
+
+def pdf_info_metadata(
+    df: DataFrame, bin_col: str = "html", key_col: str = "url"
+) -> DataFrame:
+    """Typed PDF document-information metadata over opaque binary
+    payloads: header version, trailer walk to /Info and /Root, title/
+    author/producer/creation-date strings (literal incl. escapes, and
+    hex), page count via Root -> Pages -> /Count, /Encrypt flag
+    (kernels/pdfinfo.py). No content-stream decode. Per-row isolation:
+    non-PDF payloads yield NULL fields with kind 'unknown', never a task
+    failure.
+    """
+    from ..kernels.pdfinfo import PDFINFO_FIELDS, PdfInfoError, parse_pdf_info
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict = {f.name: [] for f in PDFINFO_SCHEMA.fields}
+            for url, payload in zip(pdf[key_col], pdf[bin_col]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    meta = parse_pdf_info(payload)
+                    kind = "pdf"
+                except PdfInfoError:
+                    meta = None
+                    kind = "unknown"
+                out["url"].append(url)
+                out["media_kind"].append(kind)
+                for f in PDFINFO_FIELDS:
+                    out[f].append(meta[f] if meta else None)
+            yield pd.DataFrame(out)
+
+    return df.select(key_col, bin_col).mapInPandas(kernel, PDFINFO_SCHEMA)
+
+
 MP3_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("media_kind", StringType()),
