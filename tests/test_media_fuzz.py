@@ -370,6 +370,70 @@ def _rand_exif_payload(rng: random.Random) -> bytes:
     return b"\xff\xd8" + _FUZZ_JFIF_APP0 + app1 + tail
 
 
+# ------------------------------------------------------------------- pdf
+# Well-formed-per-contract PDFs (the pdfinfo oracle's canonical layout:
+# Info=1/Catalog=2/Pages=3, one space after keys, flat trailer, ASCII
+# strings escaping only parens) with adversarial VALUES: absent keys,
+# empty Info, hex-vs-literal strings, escaped parens, zero/large counts,
+# encrypt flags, headerless/trailerless rejects.
+_PDF_WORDS = ["Report", "Q3", "draft", "final", "claims", "2024",
+              "summary", "x-12", "a:b", "under_score", "dots..."]
+
+
+def _pdf_string_value(rng: random.Random) -> str:
+    parts = [rng.choice(_PDF_WORDS) for _ in range(rng.randrange(1, 4))]
+    s = " ".join(parts)
+    if rng.random() < 0.4:
+        s += rng.choice([" (inner)", " (v2) (rc)"])
+    return s
+
+
+def _pdf_escape(s: str) -> bytes:
+    return s.replace("(", "\\(").replace(")", "\\)").encode("ascii")
+
+
+def _rand_pdf_payload(rng: random.Random) -> bytes:
+    r = rng.random()
+    if r < 0.08:
+        return bytes(rng.randrange(256) for _ in range(rng.randrange(40)))
+    if r < 0.14:
+        return b"%PDF-1.4\nheader but no trailer at all"
+    version = rng.choice([b"1.0", b"1.4", b"1.7", b"2.0"])
+    objs = []
+    trailer_extra = b""
+    has_info = rng.random() < 0.75
+    if has_info:
+        fields = b""
+        for key in (b"Title", b"Author", b"Producer", b"CreationDate"):
+            roll = rng.random()
+            if roll < 0.35:
+                continue  # absent key
+            val = _pdf_string_value(rng)
+            if roll < 0.55:  # hex string form
+                fields += (b"/" + key + b" <"
+                           + val.encode("ascii").hex().upper().encode()
+                           + b"> ")
+            else:
+                fields += b"/" + key + b" (" + _pdf_escape(val) + b") "
+        objs.append((1, b"<< " + fields + b">>"))
+        trailer_extra += b" /Info 1 0 R"
+    objs.append((2, b"<< /Type /Catalog /Pages 3 0 R >>"))
+    count = rng.choice([0, 1, 7, 999, 10 ** 9])
+    pages = b"<< /Type /Pages /Kids []"
+    if rng.random() < 0.85:
+        pages += b" /Count %d" % count
+    objs.append((3, pages + b" >>"))
+    if rng.random() < 0.25:
+        objs.append((9, b"<< /Filter /Standard >>"))
+        trailer_extra += b" /Encrypt 9 0 R"
+    out = b"%PDF-" + version + b"\n"
+    for num, body in objs:
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    out += (b"trailer\n<< /Size %d /Root 2 0 R" % (len(objs) + 1)
+            + trailer_extra + b" >>\nstartxref\n%d\n%%%%EOF\n" % len(out))
+    return out
+
+
 # -------------------------------------------------------------- plumbing
 def _write_media(tmpdir: str, sub: str, rows: list,
                  extra_goldens: tuple = ()) -> str:
@@ -464,6 +528,26 @@ def test_exif_metadata_differential_fuzz(spark, tmp_path_factory, seed):
     finally:
         entrymod.ensure_corpus = orig
     sql = oracles["media_exif_metadata"].replace(entrymod.EXIF_01, path)
+    ddf = _canon(duckdb.connect().execute(sql).df())
+    bad = _diff(sdf, ddf)
+    assert bad == [], bad[:10]
+
+
+@pytest.mark.parametrize("seed", [SEED])
+def test_pdf_info_differential_fuzz(spark, tmp_path_factory, seed):
+    rng = random.Random(seed + 3)
+    d = str(tmp_path_factory.mktemp("media_fuzz_pdf"))
+    rows = [(f"https://fuzz.test/pdf/{i:04d}", _rand_pdf_payload(rng))
+            for i in range(120)]
+    path = _write_media(d, "pdfinfo", rows)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    orig = entrymod.ensure_corpus
+    entrymod.ensure_corpus = lambda _sf: d
+    try:
+        sdf = _canon(qs["pdf_info_metadata"](spark, d).toPandas())
+    finally:
+        entrymod.ensure_corpus = orig
+    sql = oracles["pdf_info_metadata"].replace(entrymod.PDFINFO_01, path)
     ddf = _canon(duckdb.connect().execute(sql).df())
     bad = _diff(sdf, ddf)
     assert bad == [], bad[:10]
