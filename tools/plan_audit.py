@@ -24,6 +24,7 @@ DEFAULT = [
     "ann_bucketed_near_dup", "text_quality_score", "f1_f2_size_filter",
     "pipeline_extract_dedup_chunk", "shape_pack_documents",
     "temporal_asof_join", "temporal_interval_join",
+    "clean_gopher_gate",  # r5: must stay one fused JVM projection
 ]
 
 
