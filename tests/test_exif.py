@@ -100,6 +100,18 @@ class TestSpecAnchors:
         m = parse_exif(blob)
         assert m["orientation"] == 8 and m["n_ifd0_entries"] == 2
 
+    def test_fill_bytes_and_rst_before_app1(self):
+        # §B.1.1.2: 0xFF fill bytes may precede a marker; RST/TEM are
+        # standalone (no length field) — the walk must step over both
+        tiff = _hdr("<") + _ifd("<", [
+            _e("<", 0x0112, 3, 1, struct.pack("<H", 7) + b"\x00\x00"),
+        ])
+        payload = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+        data = (b"\xff\xd8" + b"\xff\xff\xff\xff" + b"\xff\xd0"
+                + app1 + b"\xff\xd9")
+        assert parse_exif(data)["orientation"] == 7
+
     def test_non_eight_ifd0_offset(self):
         # first IFD does not have to sit right after the header
         blob = _hdr("<", ifd0=12) + b"\x00" * 4 + _ifd("<", [

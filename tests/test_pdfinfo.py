@@ -66,6 +66,13 @@ class TestSpecAnchors:
                                 b"<< /Size 8 /Root 2 0 R >>"))
         assert m["n_pages"] == 42
 
+    def test_multi_digit_info_ref(self):
+        body = (b"12 0 obj\n<< /Title (Deep Ref) >>\nendobj\n"
+                + _MIN_BODY)
+        m = parse_pdf_info(_pdf(
+            b"1.7", body, b"<< /Size 13 /Root 2 0 R /Info 12 0 R >>"))
+        assert m["title"] == "Deep Ref" and m["has_info"] is True
+
     def test_encrypt_flag(self):
         m = parse_pdf_info(_pdf(
             b"1.4", _MIN_BODY,
