@@ -1070,6 +1070,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return gopher_quality_gate(ok).orderBy("url")
     q["clean_gopher_gate"] = clean_gopher_gate
 
+    def clean_decontaminate(spark, sf_dir):
+        # benchmark decontamination (GPT-3 app. C / Llama 2 A.6): flag
+        # documents sharing any 8-gram with the held-out benchmark slice
+        # (doc_id % 20 == 0). The benchmark n-gram set is BROADCAST — the
+        # corpus side never shuffles for the join (plan-audited).
+        from pdf_parser_spark.operators import decontaminate as DC
+
+        d = _docs(spark, sf_dir)
+        bench = d.where(F.col("doc_id") % 20 == 0)
+        return DC.decontaminate(d, bench, n=8, min_hits=1).orderBy("doc_id")
+    q["clean_decontaminate"] = clean_decontaminate
+
     # ---- multimodal -----------------------------------------------------------
     def media_metadata(spark, sf_dir):
         return M.media_metadata(_pages(spark, sf_dir)).orderBy("url")
@@ -1397,22 +1409,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # re-proves each round: least-recently-verified first.
 _VERIFY_FIRST = [
     # round-5 window. Slot budget (window = 50, driver checks first 50):
-    #   - 34 of the 41 queries last driver-verified in r3 (VERDICT r4 item 1)
+    #   - 33 of the 41 queries last driver-verified in r3 (VERDICT r4 item 1)
     #   - all 11 media_* queries: round 5 touches kernels/webp.py (ADVICE r4
     #     distance/TR fixes), kernels/mp4.py (co64), operators/multimodal.py
     #     (JPEG/BMP/ICO/TIFF/VP8X dims, MP3) — one shared import closure, so
     #     the freshness ledger forces every media query in-window
-    #   - 5 new-in-r5 queries (media_mp3_metadata, pipeline_curate_end2end,
-    #     clean_gopher_gate, media_exif_metadata, pdf_info_metadata)
-    # That sums to 50; the 7 r3-verified queries left OUT of the window
+    #   - 6 new-in-r5 queries (media_mp3_metadata, pipeline_curate_end2end,
+    #     clean_gopher_gate, media_exif_metadata, pdf_info_metadata,
+    #     clean_decontaminate)
+    # That sums to 50; the 8 r3-verified queries left OUT of the window
     # (f1_f2_size_filter, f3_magic_router, f4_extension_predicate,
     # f5_empty_text_guard, p3_content_hash, clean_domain_stats,
-    # clean_canonical_url) are single-expression column ops or one-row
-    # aggregates, driver-green in r3 AND at least one earlier round
-    # (f1_f2_size_filter in all of r1/r2/r3; clean_domain_stats and
-    # clean_canonical_url in r1+r3), byte-identical golden tests in
-    # pytest, and their code is ledger-frozen at the r3-verified commit
-    # b7a09fc4 (tools/freshness_ledger.py check == 0 violations proves their
+    # clean_canonical_url, clean_scrub_pii) are single-expression column
+    # ops or one-row aggregates, driver-green in r3 AND at least one
+    # earlier round (f1_f2_size_filter in all of r1/r2/r3; the clean_*
+    # three in r1+r3), byte-identical golden tests in pytest, and their
+    # code is ledger-frozen at the r3-verified commit b7a09fc4
+    # (tools/freshness_ledger.py check == 0 violations proves their
     # import closures are untouched since that verification).
     # r3-stale backlog, least-recently-verified evidence first:
     "extract_classic_pipeline", "extract_ai_pipeline", "ai_label_discovery",
@@ -1427,7 +1440,7 @@ _VERIFY_FIRST = [
     "olap_regional_revenue", "olap_value_quantiles", "olap_order_priority",
     "temporal_asof_join", "temporal_interval_join", "temporal_sessionize",
     "temporal_session_window_native",
-    "clean_scrub_pii", "clean_repetition_flags", "clean_stopword_stats",
+    "clean_repetition_flags", "clean_stopword_stats",
     "clean_line_dedup", "sql_udf_extract_text",
     "sql_udtf_field_rows", "stream_extract_lift",
     # media closure changed in r5 (webp/mp4/multimodal edits):
@@ -1438,7 +1451,7 @@ _VERIFY_FIRST = [
     # new in round 5 (fills the window to exactly 50; uncommented as each
     # query lands):
     "media_mp3_metadata", "pipeline_curate_end2end", "clean_gopher_gate",
-    "media_exif_metadata", "pdf_info_metadata",
+    "media_exif_metadata", "pdf_info_metadata", "clean_decontaminate",
 ]
 
 
@@ -2511,6 +2524,36 @@ def oracle_sql() -> dict[str, str]:
            AND sr <= 0.1 AND fb <= 0.9 AND fe <= 0.3 AND fa >= 0.8
            AND n_stop >= 2) AS keep
         FROM r ORDER BY url
+    """
+    # same tokenization as the Spark side ('\\s+' split, empties dropped,
+    # lowercased); DuckDB list slice l[a:b] is 1-based inclusive, so gram
+    # i (0-based) = t[i+1 : i+8] — exactly F.slice(toks, i+1, 8)
+    o["clean_decontaminate"] = """
+        WITH toks AS (
+          SELECT doc_id, list_transform(list_filter(
+            string_split_regex(text, '\\s+'), x -> x <> ''),
+            x -> lower(x)) AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, CASE WHEN len(t) >= 8 THEN
+            list_transform(range(0, len(t) - 7),
+                           i -> array_to_string(t[i+1:i+8], ' '))
+            ELSE [] END AS gs
+          FROM toks
+        ), doc_grams AS (
+          SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM grams
+        ), bench AS (
+          SELECT DISTINCT unnest(gs) AS gram FROM grams
+          WHERE doc_id % 20 = 0
+        ), hits AS (
+          SELECT doc_id, count(*) AS n
+          FROM doc_grams JOIN bench USING (gram) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+          COALESCE(h.n, 0) AS n_contaminated_grams,
+          COALESCE(h.n, 0) >= 1 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        ORDER BY d.doc_id
     """
     # fake featurizer = sha256 over the lowercase-hex payload (multimodal.py
     # _fake_features chooses that exact digest input so this DuckDB sha256()

@@ -194,3 +194,66 @@ class TestGopherQualityGate:
         text = "the cat sat on the mat with joy"
         out = self._gate(spark, [("a", text)], min_words=5)["a"]
         assert out.rule_word_count is True and out.keep is True
+
+
+class TestDecontaminate:
+    """decontaminate.decontaminate — benchmark n-gram overlap flags."""
+
+    BENCH = "the quick brown fox jumps over the lazy dog tonight"
+
+    def _run(self, spark, docs, **kw):
+        from pdf_parser_spark.operators.decontaminate import decontaminate
+
+        ddf = spark.createDataFrame(docs, "doc_id bigint, text string")
+        bdf = spark.createDataFrame([(100, self.BENCH)],
+                                    "doc_id bigint, text string")
+        return {r.doc_id: r for r in decontaminate(ddf, bdf, **kw).collect()}
+
+    def test_exact_overlap_flagged(self, spark):
+        docs = [
+            (0, "prefix words " + self.BENCH + " suffix words"),
+            (1, "entirely unrelated content with many different words here"),
+        ]
+        out = self._run(spark, docs, n=8)
+        assert out[0].contaminated is True
+        assert out[0].n_contaminated_grams == 3  # 10 bench tokens -> 3 8-grams
+        assert out[1].contaminated is False
+        assert out[1].n_contaminated_grams == 0
+
+    def test_case_insensitive(self, spark):
+        out = self._run(spark, [(0, self.BENCH.upper())], n=8)
+        assert out[0].contaminated is True
+
+    def test_short_docs_never_flagged(self, spark):
+        out = self._run(spark, [(0, "the quick brown fox"), (1, "")], n=8)
+        assert out[0].n_contaminated_grams == 0
+        assert out[1].contaminated is False
+
+    def test_min_hits_threshold(self, spark):
+        docs = [(0, " ".join(self.BENCH.split()[:8]))]  # exactly one gram
+        assert self._run(spark, docs, n=8, min_hits=1)[0].contaminated is True
+        assert self._run(spark, docs, n=8, min_hits=2)[0].contaminated is False
+
+    def test_repeated_gram_counts_once(self, spark):
+        one = " ".join(self.BENCH.split()[:8])
+        out = self._run(spark, [(0, one + " " + one)], n=8)
+        # doc grams are distinct-counted; the repeat adds bridging grams
+        # that are NOT in the benchmark, so the hit count stays 1
+        assert out[0].n_contaminated_grams == 1
+
+    def test_benchmark_side_broadcasts(self, spark):
+        from pdf_parser_spark.operators.decontaminate import decontaminate
+
+        ddf = spark.createDataFrame([(0, self.BENCH)],
+                                    "doc_id bigint, text string")
+        df = decontaminate(ddf, ddf, n=8)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+            .fromString("formatted")
+        plan = df._jdf.queryExecution().explainString(mode)
+        # the GRAM join (big side) must broadcast the benchmark set; the
+        # final flag join on doc_id may sort-merge — it moves only 8-byte
+        # keys + counts and the hit set is unbounded in the worst case,
+        # so forcing a broadcast there would NOT be scale-safe
+        # the only inner join in the plan IS the gram join
+        assert "BroadcastHashJoin" in plan
+        assert "Inner BuildRight" in plan.split("BroadcastHashJoin")[1][:40]

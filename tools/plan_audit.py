@@ -25,6 +25,7 @@ DEFAULT = [
     "pipeline_extract_dedup_chunk", "shape_pack_documents",
     "temporal_asof_join", "temporal_interval_join",
     "clean_gopher_gate",  # r5: must stay one fused JVM projection
+    "clean_decontaminate",  # r5: gram join must broadcast the bench side
 ]
 
 
