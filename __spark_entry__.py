@@ -1082,6 +1082,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return DC.decontaminate(d, bench, n=8, min_hits=1).orderBy("doc_id")
     q["clean_decontaminate"] = clean_decontaminate
 
+    def dedup_span_coverage(spark, sf_dir):
+        # span-level exact-substring dedup (Lee et al. 2021): per-document
+        # coverage of 10-token windows that repeat >= 2 times corpus-wide,
+        # with exact interval-union token counts via an ordered window
+        # function. hashed=True is the scale path (8-byte xxhash64 shuffle
+        # keys); a pytest pins hashed == unhashed output.
+        from pdf_parser_spark.operators.spandedup import duplicated_span_stats
+
+        d = _docs(spark, sf_dir)
+        return duplicated_span_stats(d, k=10, min_count=2).orderBy("doc_id")
+    q["dedup_span_coverage"] = dedup_span_coverage
+
     # ---- multimodal -----------------------------------------------------------
     def media_metadata(spark, sf_dir):
         return M.media_metadata(_pages(spark, sf_dir)).orderBy("url")
@@ -1409,24 +1421,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # re-proves each round: least-recently-verified first.
 _VERIFY_FIRST = [
     # round-5 window. Slot budget (window = 50, driver checks first 50):
-    #   - 33 of the 41 queries last driver-verified in r3 (VERDICT r4 item 1)
+    #   - 32 of the 41 queries last driver-verified in r3 (VERDICT r4 item 1)
     #   - all 11 media_* queries: round 5 touches kernels/webp.py (ADVICE r4
     #     distance/TR fixes), kernels/mp4.py (co64), operators/multimodal.py
     #     (JPEG/BMP/ICO/TIFF/VP8X dims, MP3) — one shared import closure, so
     #     the freshness ledger forces every media query in-window
-    #   - 6 new-in-r5 queries (media_mp3_metadata, pipeline_curate_end2end,
+    #   - 7 new-in-r5 queries (media_mp3_metadata, pipeline_curate_end2end,
     #     clean_gopher_gate, media_exif_metadata, pdf_info_metadata,
-    #     clean_decontaminate)
-    # That sums to 50; the 8 r3-verified queries left OUT of the window
+    #     clean_decontaminate, dedup_span_coverage)
+    # That sums to 50; the 9 r3-verified queries left OUT of the window
     # (f1_f2_size_filter, f3_magic_router, f4_extension_predicate,
     # f5_empty_text_guard, p3_content_hash, clean_domain_stats,
-    # clean_canonical_url, clean_scrub_pii) are single-expression column
-    # ops or one-row aggregates, driver-green in r3 AND at least one
-    # earlier round (f1_f2_size_filter in all of r1/r2/r3; the clean_*
-    # three in r1+r3), byte-identical golden tests in pytest, and their
-    # code is ledger-frozen at the r3-verified commit b7a09fc4
-    # (tools/freshness_ledger.py check == 0 violations proves their
-    # import closures are untouched since that verification).
+    # clean_canonical_url, clean_scrub_pii, clean_repetition_flags) are
+    # single-expression column ops or one-row aggregates, driver-green in
+    # r3 AND at least one earlier round (f1_f2_size_filter in all of
+    # r1/r2/r3; the clean_* four in r1+r3), byte-identical golden tests in
+    # pytest, and their code is ledger-frozen at the r3-verified commit
+    # b7a09fc4 (tools/freshness_ledger.py check == 0 violations proves
+    # their import closures are untouched since that verification).
     # r3-stale backlog, least-recently-verified evidence first:
     "extract_classic_pipeline", "extract_ai_pipeline", "ai_label_discovery",
     "extract_error_accounting",
@@ -1440,7 +1452,7 @@ _VERIFY_FIRST = [
     "olap_regional_revenue", "olap_value_quantiles", "olap_order_priority",
     "temporal_asof_join", "temporal_interval_join", "temporal_sessionize",
     "temporal_session_window_native",
-    "clean_repetition_flags", "clean_stopword_stats",
+    "clean_stopword_stats",
     "clean_line_dedup", "sql_udf_extract_text",
     "sql_udtf_field_rows", "stream_extract_lift",
     # media closure changed in r5 (webp/mp4/multimodal edits):
@@ -1452,6 +1464,7 @@ _VERIFY_FIRST = [
     # query lands):
     "media_mp3_metadata", "pipeline_curate_end2end", "clean_gopher_gate",
     "media_exif_metadata", "pdf_info_metadata", "clean_decontaminate",
+    "dedup_span_coverage",
 ]
 
 
@@ -2554,6 +2567,46 @@ def oracle_sql() -> dict[str, str]:
           COALESCE(h.n, 0) >= 1 AS contaminated
         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         ORDER BY d.doc_id
+    """
+    # Spark keys the gram shuffle on xxhash64; the oracle groups the gram
+    # strings directly — identical semantics (collision odds at sf0.01:
+    # ~2e5^2 / 2^65 ≈ 1e-9). Interval union = running max of window end
+    # over preceding rows, same formula both engines. BIGINT casts because
+    # DuckDB sum() widens to HUGEINT.
+    o["dedup_span_coverage"] = """
+        WITH toks AS (
+          SELECT doc_id, list_transform(list_filter(
+            string_split_regex(text, '\\s+'), x -> x <> ''),
+            x -> lower(x)) AS t
+          FROM documents
+        ), w AS (
+          SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+            SELECT doc_id, unnest(CASE WHEN len(t) >= 10 THEN
+              list_transform(range(0, len(t) - 9),
+                i -> struct_pack(pos := i,
+                                 gram := array_to_string(t[i+1:i+10], ' ')))
+              ELSE [] END) AS u
+            FROM toks)
+        ), dup AS (
+          SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2
+        ), flagged AS (
+          SELECT w.doc_id, w.pos,
+            max(w.pos + 10) OVER (PARTITION BY w.doc_id ORDER BY w.pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM w JOIN dup USING (gram)
+        ), per_doc AS (
+          SELECT doc_id, count(*) AS n_dup_windows,
+            sum(pos + 10 - greatest(pos, coalesce(prev_end, pos)))
+              AS dup_tokens
+          FROM flagged GROUP BY doc_id
+        )
+        SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+          greatest(len(t.t) - 9, 0)::BIGINT AS n_windows,
+          coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+          coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+          coalesce(p.dup_tokens, 0) * 100 <= len(t.t) * 20 AS keep
+        FROM toks t LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY t.doc_id
     """
     # fake featurizer = sha256 over the lowercase-hex payload (multimodal.py
     # _fake_features chooses that exact digest input so this DuckDB sha256()

@@ -915,3 +915,84 @@ class TestImageDimensions:
         # zero-size box (extends to end) terminates cleanly
         zed = ftyp + struct.pack(">I", 0) + b"meta" + b"\x00" * 4
         assert heif_sniff_dimensions(zed) is None
+
+
+class TestDuplicatedSpans:
+    """spandedup.duplicated_span_stats — span-level exact-substring dedup."""
+
+    K5 = dict(k=5, min_count=2)
+
+    def _run(self, spark, docs, **kw):
+        from pdf_parser_spark.operators.spandedup import duplicated_span_stats
+
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        return {r.doc_id: r for r in duplicated_span_stats(df, **kw).collect()}
+
+    def test_cross_doc_span_flagged_in_both(self, spark):
+        shared = "one two three four five"
+        docs = [(0, "prefix " + shared), (1, shared + " suffix"),
+                (2, "totally different words everywhere around here")]
+        out = self._run(spark, docs, **self.K5)
+        assert out[0].n_dup_windows == 1 and out[0].dup_tokens == 5
+        assert out[1].n_dup_windows == 1 and out[1].dup_tokens == 5
+        assert out[2].n_dup_windows == 0 and out[2].dup_tokens == 0
+        assert out[2].keep is True
+
+    def test_within_doc_repeat_counts(self, spark):
+        span = "alpha beta gamma delta epsilon"
+        # the bridging windows across the junction are unique; only the two
+        # copies of the 5-window are duplicated, and their intervals overlap
+        # is empty (positions 0 and 5) -> coverage = 10 tokens
+        out = self._run(spark, [(0, span + " " + span)], **self.K5)
+        r = out[0]
+        assert r.n_tokens == 10 and r.n_windows == 6
+        assert r.n_dup_windows == 2 and r.dup_tokens == 10
+        assert r.keep is False  # 100% coverage > 20%
+
+    def test_overlapping_windows_union_not_sum(self, spark):
+        # 6 tokens, windows at pos 0 and 1 both duplicated via doc 1:
+        # union covers all 6 tokens, NOT 10
+        t = "a b c d e f"
+        out = self._run(spark, [(0, t), (1, t)], **self.K5)
+        r = out[0]
+        assert r.n_dup_windows == 2
+        assert r.dup_tokens == 6
+
+    def test_short_and_empty_docs_keep(self, spark):
+        out = self._run(spark, [(0, "under five words"), (1, "")], **self.K5)
+        assert out[0].n_windows == 0 and out[0].keep is True
+        assert out[1].n_tokens == 0 and out[1].keep is True
+
+    def test_case_and_whitespace_normalized(self, spark):
+        out = self._run(spark, [(0, "One  Two\tThree Four FIVE"),
+                                (1, "one two three four five")], **self.K5)
+        assert out[0].n_dup_windows == 1 and out[1].n_dup_windows == 1
+
+    def test_hashed_matches_unhashed_on_corpus(self, spark):
+        from pdf_parser_spark.operators.spandedup import duplicated_span_stats
+        from pdf_parser_spark.corpus import ensure_corpus
+        from pdf_parser_spark.pipeline import load_pages, extract_pipeline
+
+        d = ensure_corpus(0.001)
+        ok = extract_pipeline(load_pages(spark, d)).where("status = 'ok'") \
+            .selectExpr("xxhash64(url) AS doc_id", "text")
+        a = duplicated_span_stats(ok, k=10, hashed=True) \
+            .orderBy("doc_id").collect()
+        b = duplicated_span_stats(ok, k=10, hashed=False) \
+            .orderBy("doc_id").collect()
+        assert a == b and len(a) > 0
+
+    def test_coverage_threshold_exact_integer_math(self, spark):
+        # 25 tokens, one duplicated 5-window -> 5/25 = exactly 20% -> keep
+        filler = " ".join(f"w{i}" for i in range(20))
+        span = "p q r s t"
+        out = self._run(spark, [(0, filler + " " + span), (1, span)],
+                        **self.K5)
+        assert out[0].n_tokens == 25 and out[0].dup_tokens == 5
+        assert out[0].keep is True
+        # tighten by one token: 5/24 > 20% -> drop
+        out = self._run(
+            spark,
+            [(0, " ".join(f"w{i}" for i in range(19)) + " " + span),
+             (1, span)], **self.K5)
+        assert out[0].n_tokens == 24 and out[0].keep is False

@@ -26,6 +26,7 @@ DEFAULT = [
     "temporal_asof_join", "temporal_interval_join",
     "clean_gopher_gate",  # r5: must stay one fused JVM projection
     "clean_decontaminate",  # r5: gram join must broadcast the bench side
+    "dedup_span_coverage",  # r5: 8-byte-key shuffles, no broadcast of big sides
 ]
 
 
