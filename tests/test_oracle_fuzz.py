@@ -121,6 +121,35 @@ class TestOracleFuzz:
         want = {tuple(r) for r in con.execute(_oracle("dedup_exact")).fetchall()}
         assert got == want
 
+    def test_decontaminate_gram_overlap(self, tables):
+        from pdf_parser_spark.operators.decontaminate import decontaminate
+
+        df, con = tables
+        bench = df.where("doc_id % 20 = 0")  # same slice as the oracle
+        got = {
+            r.doc_id: (r.n_contaminated_grams, r.contaminated)
+            for r in decontaminate(df, bench, n=8).collect()
+        }
+        want = {
+            row[0]: (row[1], row[2])
+            for row in con.execute(_oracle("clean_decontaminate")).fetchall()
+        }
+        assert got == want
+
+    def test_span_coverage_interval_union(self, tables):
+        from pdf_parser_spark.operators.spandedup import duplicated_span_stats
+
+        df, con = tables
+        got = {
+            r.doc_id: tuple(r)[1:]
+            for r in duplicated_span_stats(df, k=10).collect()
+        }
+        want = {
+            row[0]: tuple(row[1:])
+            for row in con.execute(_oracle("dedup_span_coverage")).fetchall()
+        }
+        assert got == want
+
     def test_gopher_gate_rules(self, tables):
         import math
         import re
