@@ -591,6 +591,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("vec_id")
     q["ann_dup_clusters"] = ann_dup_clusters
 
+    def ann_semdedup(spark, sf_dir):
+        # SemDeDup (Abbas et al. 2023): deterministic 2-iteration k-means
+        # over QUANTIZED embeddings (exact integer distances, shared-double
+        # centroid rounding), then within-cluster cosine > 0.4 drops the
+        # larger vec_id — the rational-threshold test cross-multiplies to
+        # decimal(38,0), so no float comparison anywhere
+        from pdf_parser_spark.operators.semdedup import semdedup
+
+        return semdedup(
+            _emb(spark, sf_dir), k=8, iters=2, threshold=(2, 5)
+        ).orderBy("vec_id")
+    q["ann_semdedup"] = ann_semdedup
+
     def ann_knn_join(spark, sf_dir):
         # batch KNN: top-k for EVERY row via the IVF index; exhaustive probes
         # here (oracle-exact), n_probe << n_lists in production
@@ -1421,26 +1434,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # re-proves each round: least-recently-verified first.
 _VERIFY_FIRST = [
     # round-5 window. Slot budget (window = 50, driver checks first 50):
-    #   - 32 of the 41 queries last driver-verified in r3 (VERDICT r4 item 1)
+    #   - 31 of the 41 queries last driver-verified in r3 (VERDICT r4 item 1)
     #   - all 11 media_* queries: round 5 touches kernels/webp.py (ADVICE r4
     #     distance/TR fixes), kernels/mp4.py (co64), operators/multimodal.py
     #     (JPEG/BMP/ICO/TIFF/VP8X dims, MP3) — one shared import closure, so
     #     the freshness ledger forces every media query in-window
-    #   - 7 new-in-r5 queries (media_mp3_metadata, pipeline_curate_end2end,
+    #   - 8 new-in-r5 queries (media_mp3_metadata, pipeline_curate_end2end,
     #     clean_gopher_gate, media_exif_metadata, pdf_info_metadata,
-    #     clean_decontaminate, dedup_span_coverage)
-    # That sums to 50; the 9 r3-verified queries left OUT of the window
+    #     clean_decontaminate, dedup_span_coverage, ann_semdedup)
+    # That sums to 50; the 10 r3-verified queries left OUT of the window
     # (f1_f2_size_filter, f3_magic_router, f4_extension_predicate,
     # f5_empty_text_guard, p3_content_hash, clean_domain_stats,
-    # clean_canonical_url, clean_scrub_pii, clean_repetition_flags) are
-    # single-expression column ops or one-row aggregates, driver-green in
-    # r3 AND at least one earlier round (f1_f2_size_filter in all of
-    # r1/r2/r3; the clean_* four in r1+r3), byte-identical golden tests in
-    # pytest, and their code is ledger-frozen at the r3-verified commit
-    # b7a09fc4 (tools/freshness_ledger.py check == 0 violations proves
-    # their import closures are untouched since that verification).
+    # clean_canonical_url, clean_scrub_pii, clean_repetition_flags,
+    # ai_label_discovery) are single-expression column ops or one-row
+    # aggregates, driver-green in r3 AND at least one earlier round
+    # (f1_f2_size_filter and ai_label_discovery in all of r1/r2/r3; the
+    # clean_* four in r1+r3), byte-identical golden tests in pytest, and
+    # their code is ledger-frozen at the r3-verified commit b7a09fc4
+    # (tools/freshness_ledger.py check == 0 violations proves their
+    # import closures are untouched since that verification).
     # r3-stale backlog, least-recently-verified evidence first:
-    "extract_classic_pipeline", "extract_ai_pipeline", "ai_label_discovery",
+    "extract_classic_pipeline", "extract_ai_pipeline",
     "extract_error_accounting",
     "dedup_clusters_capped", "ann_dup_clusters", "text_bpe_token_counts",
     "olap_event_pivot", "olap_event_moving_avg", "olap_event_cube",
@@ -1464,7 +1478,7 @@ _VERIFY_FIRST = [
     # query lands):
     "media_mp3_metadata", "pipeline_curate_end2end", "clean_gopher_gate",
     "media_exif_metadata", "pdf_info_metadata", "clean_decontaminate",
-    "dedup_span_coverage",
+    "dedup_span_coverage", "ann_semdedup",
 ]
 
 
@@ -2607,6 +2621,84 @@ def oracle_sql() -> dict[str, str]:
           coalesce(p.dup_tokens, 0) * 100 <= len(t.t) * 20 AS keep
         FROM toks t LEFT JOIN per_doc p USING (doc_id)
         ORDER BY t.doc_id
+    """
+    # exact-integer SemDeDup: quantization (round is ties-away-from-zero in
+    # BOTH engines; float->double and *4096 are IEEE-exact), integer
+    # distances, centroid update through ONE shared double expression
+    # (floor(S/C + 0.5) over identical integer inputs), and the cosine
+    # threshold 2/5 cross-multiplied to HUGEINT (Spark: decimal(38,0)).
+    # Iterations are unrolled: a1 assigns on the k-smallest-vec_id seeds,
+    # c1/c2 re-derive centroids (LEFT JOIN keeps an empty cluster's
+    # previous centroid), a3 is the final assignment.
+    o["ann_semdedup"] = """
+        WITH q AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> round(x::DOUBLE * 4096)::BIGINT)
+              AS q
+          FROM embeddings
+        ), seed AS (
+          SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS j,
+                 q AS c
+          FROM q ORDER BY vec_id LIMIT 8
+        ), a1 AS (
+          SELECT vec_id, j, d2 FROM (
+            SELECT q.vec_id, s.j,
+              list_sum(list_transform(range(1, 65),
+                i -> (q.q[i] - s.c[i]) * (q.q[i] - s.c[i])))::BIGINT AS d2
+            FROM q, seed s)
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) = 1
+        ), c1 AS (
+          SELECT s.j, coalesce(u.c, s.c) AS c FROM seed s LEFT JOIN (
+            SELECT j, list(val ORDER BY i) AS c FROM (
+              SELECT a1.j, t.i,
+                floor(sum(q.q[t.i])::DOUBLE / count(*) + 0.5)::BIGINT AS val
+              FROM a1 JOIN q USING (vec_id) CROSS JOIN range(1, 65) t(i)
+              GROUP BY a1.j, t.i)
+            GROUP BY j) u USING (j)
+        ), a2 AS (
+          SELECT vec_id, j, d2 FROM (
+            SELECT q.vec_id, s.j,
+              list_sum(list_transform(range(1, 65),
+                i -> (q.q[i] - s.c[i]) * (q.q[i] - s.c[i])))::BIGINT AS d2
+            FROM q, c1 s)
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) = 1
+        ), c2 AS (
+          SELECT s.j, coalesce(u.c, s.c) AS c FROM c1 s LEFT JOIN (
+            SELECT j, list(val ORDER BY i) AS c FROM (
+              SELECT a2.j, t.i,
+                floor(sum(q.q[t.i])::DOUBLE / count(*) + 0.5)::BIGINT AS val
+              FROM a2 JOIN q USING (vec_id) CROSS JOIN range(1, 65) t(i)
+              GROUP BY a2.j, t.i)
+            GROUP BY j) u USING (j)
+        ), a3 AS (
+          SELECT vec_id, j, d2 FROM (
+            SELECT q.vec_id, s.j,
+              list_sum(list_transform(range(1, 65),
+                i -> (q.q[i] - s.c[i]) * (q.q[i] - s.c[i])))::BIGINT AS d2
+            FROM q, c2 s)
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) = 1
+        ), nm AS (
+          SELECT vec_id, q,
+            list_sum(list_transform(q, x -> x * x))::BIGINT AS norm2
+          FROM q
+        ), dup AS (
+          SELECT DISTINCT b.vec_id FROM a3 a JOIN a3 b ON a.j = b.j
+            AND a.vec_id < b.vec_id
+          JOIN nm na ON na.vec_id = a.vec_id
+          JOIN nm nb ON nb.vec_id = b.vec_id
+          WHERE list_sum(list_transform(range(1, 65),
+                  i -> na.q[i] * nb.q[i]))::HUGEINT > 0
+            AND 25::HUGEINT
+                * list_sum(list_transform(range(1, 65),
+                    i -> na.q[i] * nb.q[i]))::HUGEINT
+                * list_sum(list_transform(range(1, 65),
+                    i -> na.q[i] * nb.q[i]))::HUGEINT
+              > 4::HUGEINT * na.norm2::HUGEINT * nb.norm2::HUGEINT
+        )
+        SELECT a3.vec_id, a3.j AS cluster, a3.d2 AS dist2,
+          dup.vec_id IS NULL AS keep
+        FROM a3 LEFT JOIN dup USING (vec_id)
+        ORDER BY a3.vec_id
     """
     # fake featurizer = sha256 over the lowercase-hex payload (multimodal.py
     # _fake_features chooses that exact digest input so this DuckDB sha256()

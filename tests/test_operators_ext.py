@@ -996,3 +996,85 @@ class TestDuplicatedSpans:
             [(0, " ".join(f"w{i}" for i in range(19)) + " " + span),
              (1, span)], **self.K5)
         assert out[0].n_tokens == 24 and out[0].keep is False
+
+
+class TestSemDeDup:
+    """semdedup — exact-integer k-means + within-cluster cosine dedup."""
+
+    def _emb(self, spark, rows, dim):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id bigint, embedding array<float>",
+        ), dim
+
+    def test_two_clusters_and_near_dup_drop(self, spark):
+        from pdf_parser_spark.operators.semdedup import semdedup
+
+        # seeds = vec 0 and 1 (k=2). 0/2/3 sit near +x, 1/4 near -x;
+        # 2 is (almost) parallel to 0 -> cosine ~1 > 0.4 -> dropped;
+        # 3 is orthogonal-ish within the cluster -> kept
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [-1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.01, 0.0, 0.0]),
+            (3, [0.3, 0.9, 0.0, 0.0]),
+            (4, [-0.8, -0.1, 0.0, 0.0]),
+        ]
+        df, dim = self._emb(spark, rows, 4)
+        out = {r.vec_id: r for r in
+               semdedup(df, k=2, iters=2, dim=dim,
+                        threshold=(2, 5)).collect()}
+        assert out[0].cluster == out[2].cluster == out[3].cluster
+        assert out[1].cluster == out[4].cluster
+        assert out[0].cluster != out[1].cluster
+        assert out[0].keep is True and out[2].keep is False  # smaller id wins
+        assert out[3].keep is True  # cos(0,3) ~ 0.316 < 0.4
+        assert out[1].keep is True and out[4].keep is False  # cos ~ 0.996
+
+    def test_assignment_tie_breaks_to_smaller_centroid(self, spark):
+        from pdf_parser_spark.operators.semdedup import kmeans_assign
+
+        # vec 2 exactly equidistant from both seeds -> cluster 0
+        rows = [(0, [1.0, 0.0]), (1, [3.0, 0.0]), (2, [2.0, 0.0])]
+        df, dim = self._emb(spark, rows, 2)
+        out = {r.vec_id: r.cluster
+               for r in kmeans_assign(df, k=2, iters=0, dim=dim).collect()}
+        assert out[2] == 0
+
+    def test_quantization_ties_away_from_zero(self, spark):
+        from pdf_parser_spark.operators.semdedup import quantize
+
+        # 1.5/4096 is exact in float32; *4096 -> exactly 1.5 -> rounds to 2
+        # away from zero in Spark (HALF_UP), DuckDB, and the operator's
+        # Python centroid math alike
+        v = 1.5 / 4096
+        df, _ = self._emb(spark, [(0, [v, -v])], 2)
+        q = quantize(df).select("q").collect()[0][0]
+        assert q == [2, -2]
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        from pdf_parser_spark.operators.semdedup import kmeans_assign
+
+        # seed 2 duplicates seed 0: in iteration 1 every vector ties to the
+        # smaller centroid index, so cluster 2 goes EMPTY — the update must
+        # not crash, and the empty cluster's centroid must carry over: once
+        # centroid 0 drifts toward the cluster mean in iteration 2, the
+        # preserved seed re-captures its identical vector at dist2 == 0 (a
+        # zeroed-out centroid could not)
+        rows = [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [1.0, 0.0]),
+                (3, [0.9, 0.1])]
+        df, dim = self._emb(spark, rows, 2)
+        out = {r.vec_id: r
+               for r in kmeans_assign(df, k=3, iters=2, dim=dim).collect()}
+        assert out[2].cluster == 2 and out[2].dist2 == 0
+
+    def test_exact_dist2_integers(self, spark):
+        from pdf_parser_spark.operators.semdedup import kmeans_assign
+
+        # quantized: [4096,0] and [0,4096]; seed = vec 0 only (k=1):
+        # after 1 iter centroid = floor(mean+0.5) = [2048,2048]
+        rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        df, dim = self._emb(spark, rows, 2)
+        out = {r.vec_id: r.dist2
+               for r in kmeans_assign(df, k=1, iters=1, dim=dim).collect()}
+        assert out[0] == 2048 * 2048 * 2 and out[1] == 2048 * 2048 * 2

@@ -27,6 +27,7 @@ DEFAULT = [
     "clean_gopher_gate",  # r5: must stay one fused JVM projection
     "clean_decontaminate",  # r5: gram join must broadcast the bench side
     "dedup_span_coverage",  # r5: 8-byte-key shuffles, no broadcast of big sides
+    "ann_semdedup",  # r5: assignment fused JVM projection; pair join on cluster
 ]
 
 

@@ -58,6 +58,19 @@ if plan_name == "lsh":
                 F.coalesce(F.col("text"), F.lit("")).alias("text"))
     )
     plan = minhash_lsh_pairs(docs, num_hashes=16, bands=8, max_bucket=50)
+elif plan_name == "spandedup":
+    # span-level exact-substring dedup (r5): the operator's one big
+    # exchange keys on 8-byte xxhash64 gram hashes with map-side partial
+    # counts, then a join-back and a per-doc ordered window — the
+    # shuffle-heaviest of the dedup family, so the natural 4N stall probe
+    from pdf_parser_spark.operators.spandedup import duplicated_span_stats
+    docs = (
+        extract_pipeline(pages)
+        .where(F.col("status") == "ok")
+        .select(F.xxhash64("url").alias("doc_id"),
+                F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    )
+    plan = duplicated_span_stats(docs, k=10)
 elif plan_name == "curate":
     # the ENTIRE production job (jobs/curate_job.py build_curated_chunks:
     # extract -> exact-dedup window -> token-count gate -> overlapping
@@ -124,7 +137,8 @@ def main() -> int:
     ap.add_argument("--trials", type=int, default=3,
                     help="fresh-JVM trials per level; best-of is reported")
     ap.add_argument("--plan",
-                    choices=("extract", "lsh", "repartition", "curate"),
+                    choices=("extract", "lsh", "repartition", "curate",
+                             "spandedup"),
                     default="extract",
                     help="extract = shuffle-free kernel plan; lsh = "
                          "shuffle-bearing MinHash-LSH dedup plan; "
