@@ -180,3 +180,50 @@ class TestOracleFuzz:
                     assert math.isclose(a, b, abs_tol=1e-9), (k, a, b)
                 else:
                     assert a == b, (k, got[k], want[k])
+
+
+def _random_embeddings(seed: int, n: int = 60, dim: int = 64):
+    """Random float32 vectors, salted with exact quantization-tie values
+    ((2m+1)/8192 makes x*4096 land exactly on .5 — the round-half-away
+    convention must agree across Spark, DuckDB, and the operator's Python
+    centroid math) and near-duplicate pairs (scaled copies share cosine 1).
+    """
+    import struct as _struct
+
+    rng = random.Random(seed)
+
+    def f32(v):  # the parquet column is float32; quantize through it
+        return _struct.unpack("f", _struct.pack("f", v))[0]
+
+    vecs = []
+    for i in range(n):
+        v = [f32(rng.uniform(-0.5, 0.5)) for _ in range(dim)]
+        if i % 7 == 0:  # exact .5 ties on the quant grid, both signs
+            v[0] = f32((2 * rng.randrange(0, 1000) + 1) / 8192)
+            v[1] = f32(-(2 * rng.randrange(0, 1000) + 1) / 8192)
+        if i % 11 == 3:  # scaled copy of an earlier vector: cosine == 1
+            base = vecs[rng.randrange(0, len(vecs))][1]
+            v = [f32(x * 0.5) for x in base]
+        vecs.append((i, v))
+    return vecs
+
+
+class TestSemDeDupOracleFuzz:
+    @pytest.mark.parametrize("seed", [11, 4242, 777])
+    def test_semdedup_exact_across_engines(self, spark, seed):
+        from pdf_parser_spark.operators.semdedup import semdedup
+
+        vecs = _random_embeddings(seed)
+        df = spark.createDataFrame(
+            vecs, "vec_id bigint, embedding array<float>")
+        got = {r.vec_id: (r.cluster, r.dist2, r.keep)
+               for r in semdedup(df, k=8, iters=2, dim=64,
+                                 threshold=(2, 5)).collect()}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])")
+        con.executemany("INSERT INTO embeddings VALUES (?, ?)", vecs)
+        want = {row[0]: (row[1], row[2], row[3])
+                for row in con.execute(_oracle("ann_semdedup")).fetchall()}
+        assert got == want
+        assert any(not k for _, _, k in got.values())  # planted dups fire
