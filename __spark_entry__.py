@@ -1107,6 +1107,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return duplicated_span_stats(d, k=10, min_count=2).orderBy("doc_id")
     q["dedup_span_coverage"] = dedup_span_coverage
 
+    def pipeline_training_mix(spark, sf_dir):
+        # the composed curation DECISION a training pipeline actually
+        # ships: span-dedup coverage gate AND eval-decontamination gate
+        # AND SemDeDup semantic keep, joined on the shared id — one
+        # Catalyst plan, three keeps, one final keep
+        from pdf_parser_spark.operators import decontaminate as DC
+        from pdf_parser_spark.operators.semdedup import semdedup
+        from pdf_parser_spark.operators.spandedup import duplicated_span_stats
+
+        d = _docs(spark, sf_dir)
+        span = duplicated_span_stats(d, k=10).select(
+            "doc_id", "dup_tokens", F.col("keep").alias("keep_span"))
+        dec = DC.decontaminate(
+            d, d.where(F.col("doc_id") % 20 == 0), n=8
+        ).select("doc_id", "n_contaminated_grams",
+                 (~F.col("contaminated")).alias("keep_clean"))
+        sem = semdedup(
+            _emb(spark, sf_dir), k=8, iters=2, threshold=(2, 5)
+        ).select(F.col("vec_id").alias("doc_id"), "cluster",
+                 F.col("keep").alias("keep_semantic"))
+        return (
+            span.join(dec, "doc_id").join(sem, "doc_id")
+            .select(
+                "doc_id", "dup_tokens", "n_contaminated_grams", "cluster",
+                "keep_span", "keep_clean", "keep_semantic",
+                (F.col("keep_span") & F.col("keep_clean")
+                 & F.col("keep_semantic")).alias("keep"),
+            )
+            .orderBy("doc_id")
+        )
+    q["pipeline_training_mix"] = pipeline_training_mix
+
     # ---- multimodal -----------------------------------------------------------
     def media_metadata(spark, sf_dir):
         return M.media_metadata(_pages(spark, sf_dir)).orderBy("url")
@@ -1434,28 +1466,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # re-proves each round: least-recently-verified first.
 _VERIFY_FIRST = [
     # round-5 window. Slot budget (window = 50, driver checks first 50):
-    #   - 31 of the 41 queries last driver-verified in r3 (VERDICT r4 item 1)
+    #   - 30 of the 41 queries last driver-verified in r3 (VERDICT r4 item 1)
     #   - all 11 media_* queries: round 5 touches kernels/webp.py (ADVICE r4
     #     distance/TR fixes), kernels/mp4.py (co64), operators/multimodal.py
     #     (JPEG/BMP/ICO/TIFF/VP8X dims, MP3) — one shared import closure, so
     #     the freshness ledger forces every media query in-window
-    #   - 8 new-in-r5 queries (media_mp3_metadata, pipeline_curate_end2end,
+    #   - 9 new-in-r5 queries (media_mp3_metadata, pipeline_curate_end2end,
     #     clean_gopher_gate, media_exif_metadata, pdf_info_metadata,
-    #     clean_decontaminate, dedup_span_coverage, ann_semdedup)
-    # That sums to 50; the 10 r3-verified queries left OUT of the window
+    #     clean_decontaminate, dedup_span_coverage, ann_semdedup,
+    #     pipeline_training_mix)
+    # That sums to 50; the 11 r3-verified queries left OUT of the window
     # (f1_f2_size_filter, f3_magic_router, f4_extension_predicate,
     # f5_empty_text_guard, p3_content_hash, clean_domain_stats,
     # clean_canonical_url, clean_scrub_pii, clean_repetition_flags,
-    # ai_label_discovery) are single-expression column ops or one-row
-    # aggregates, driver-green in r3 AND at least one earlier round
-    # (f1_f2_size_filter and ai_label_discovery in all of r1/r2/r3; the
-    # clean_* four in r1+r3), byte-identical golden tests in pytest, and
-    # their code is ledger-frozen at the r3-verified commit b7a09fc4
+    # ai_label_discovery, extract_error_accounting) are single-expression
+    # column ops or one-row aggregates, driver-green in r3 AND at least
+    # one earlier round (f1_f2_size_filter, ai_label_discovery and
+    # extract_error_accounting in all of r1/r2/r3; the clean_* four in
+    # r1+r3), byte-identical golden tests in pytest, and their code is
+    # ledger-frozen at the r3-verified commit b7a09fc4
     # (tools/freshness_ledger.py check == 0 violations proves their
     # import closures are untouched since that verification).
     # r3-stale backlog, least-recently-verified evidence first:
     "extract_classic_pipeline", "extract_ai_pipeline",
-    "extract_error_accounting",
     "dedup_clusters_capped", "ann_dup_clusters", "text_bpe_token_counts",
     "olap_event_pivot", "olap_event_moving_avg", "olap_event_cube",
     "olap_user_activity_fullouter", "set_ops_feed_vs_ok",
@@ -1478,7 +1511,7 @@ _VERIFY_FIRST = [
     # query lands):
     "media_mp3_metadata", "pipeline_curate_end2end", "clean_gopher_gate",
     "media_exif_metadata", "pdf_info_metadata", "clean_decontaminate",
-    "dedup_span_coverage", "ann_semdedup",
+    "dedup_span_coverage", "ann_semdedup", "pipeline_training_mix",
 ]
 
 
@@ -2699,6 +2732,23 @@ def oracle_sql() -> dict[str, str]:
           dup.vec_id IS NULL AS keep
         FROM a3 LEFT JOIN dup USING (vec_id)
         ORDER BY a3.vec_id
+    """
+    # composed curation decision — the oracle IS the composition of the
+    # three component oracles (verbatim, as CTE subqueries), so a drift in
+    # any component surfaces in both its own row and the composition
+    o["pipeline_training_mix"] = f"""
+        WITH span AS ({o["dedup_span_coverage"]}),
+        dec AS ({o["clean_decontaminate"]}),
+        sem AS ({o["ann_semdedup"]})
+        SELECT span.doc_id, span.dup_tokens, dec.n_contaminated_grams,
+          sem.cluster,
+          span.keep AS keep_span,
+          NOT dec.contaminated AS keep_clean,
+          sem.keep AS keep_semantic,
+          (span.keep AND NOT dec.contaminated AND sem.keep) AS keep
+        FROM span JOIN dec USING (doc_id)
+        JOIN sem ON sem.vec_id = span.doc_id
+        ORDER BY span.doc_id
     """
     # fake featurizer = sha256 over the lowercase-hex payload (multimodal.py
     # _fake_features chooses that exact digest input so this DuckDB sha256()

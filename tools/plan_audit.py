@@ -28,6 +28,7 @@ DEFAULT = [
     "clean_decontaminate",  # r5: gram join must broadcast the bench side
     "dedup_span_coverage",  # r5: 8-byte-key shuffles, no broadcast of big sides
     "ann_semdedup",  # r5: assignment fused JVM projection; pair join on cluster
+    "pipeline_training_mix",  # r5: three curation gates in ONE composed plan
 ]
 
 
