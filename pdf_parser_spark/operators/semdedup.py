@@ -135,6 +135,7 @@ def semdedup(
     threshold: tuple[int, int] = (9, 10),
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup keep flags: cluster, exact dist2, and ``keep``.
 
@@ -142,6 +143,12 @@ def semdedup(
     quantized cosine similarity above ``threshold`` (a rational p/q, e.g.
     (9, 10) = 0.9) — evaluated exactly: ``dot > 0 AND
     q^2*dot^2 > p^2*|a|^2*|b|^2`` in decimal(38,0).
+
+    ``max_cluster`` is the skew guard (the `max_bucket` of this family):
+    the pairwise step SKIPS clusters larger than the cap (their members
+    keep), bounding the quadratic cost when a degenerate corpus collapses
+    into one cluster. Cluster sizes are k driver-scale rows — the guard
+    join broadcasts.
     """
     p, q = threshold
     assigned = kmeans_assign(
@@ -156,6 +163,14 @@ def semdedup(
         ).alias("norm2"),
     )
     m = assigned.join(qdf, id_col)
+    if max_cluster is not None:
+        sizes = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("_csz"))
+        m = (
+            m.join(F.broadcast(sizes), "cluster")
+            .where(F.col("_csz") <= max_cluster)
+            .drop("_csz")
+        )
     a = m.select(
         F.col(id_col).alias("id_a"), F.col("cluster"),
         F.col("q").alias("q_a"), F.col("norm2").alias("n_a"),

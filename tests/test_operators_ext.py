@@ -1078,3 +1078,22 @@ class TestSemDeDup:
         out = {r.vec_id: r.dist2
                for r in kmeans_assign(df, k=1, iters=1, dim=dim).collect()}
         assert out[0] == 2048 * 2048 * 2 and out[1] == 2048 * 2048 * 2
+
+    def test_max_cluster_skew_guard(self, spark):
+        from pdf_parser_spark.operators.semdedup import semdedup
+
+        # degenerate corpus: every embedding identical -> ONE cluster of 6
+        # holding 15 cosine-1 pairs. The cap skips the pairwise step for
+        # oversized clusters (everyone keeps); uncapped, only vec 0 keeps.
+        rows = [(i, [1.0, 0.0]) for i in range(6)]
+        df, dim = self._emb(spark, rows, 2)
+        capped = {r.vec_id: r.keep
+                  for r in semdedup(df, k=2, iters=1, dim=dim,
+                                    threshold=(2, 5),
+                                    max_cluster=5).collect()}
+        assert all(capped.values())
+        uncapped = {r.vec_id: r.keep
+                    for r in semdedup(df, k=2, iters=1, dim=dim,
+                                      threshold=(2, 5)).collect()}
+        assert uncapped[0] is True and not any(
+            uncapped[i] for i in range(1, 6))
