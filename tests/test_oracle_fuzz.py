@@ -46,6 +46,13 @@ def _random_docs(seed: int, n: int = 40):
     docs.append((n + 1, "   "))
     docs.append((n + 2, "repeat " * 50))
     docs.append((n + 3, "\n\n- only bullets...\n* again…\n"))
+    # ASCII-whitespace zoo between tokens: Java \s and RE2 \s (DuckDB)
+    # must both treat \t \n \f \r (and \r\n) as separators — a divergence
+    # shifts every \s+-split operator. \x0B (\v) is deliberately EXCLUDED:
+    # Java \s includes it, this DuckDB's RE2 \s does not (probed), so \v
+    # is an engine-semantics boundary like the NBSP note above — the
+    # product semantics are Spark's, the oracle harness can't express it
+    docs.append((n + 4, "alpha\tbeta\fGamma\rDELTA\r\nzeta  a\n\nbb"))
     return docs
 
 
